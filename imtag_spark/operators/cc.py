@@ -1,0 +1,221 @@
+"""Distributed connected components: alternating large-star / small-star.
+
+Generalizes the reference's pass-2 union-find label merge
+(/root/reference/src/SegmentImageImpl.cpp:78-116 driving
+src/disjoint_set.hpp:125-137): the sequential ``unite`` sweep becomes the
+O(log n)-round alternating star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), and the in-process
+``disjoint_set`` becomes (a) a *partition-local* NumPy union-find
+pre-contraction inside an Arrow UDF — the direct analog of the reference's
+shared-memory merge, run shuffle-free per partition — plus (b) the global
+iterated ``(vertex → label)`` DataFrame.
+
+Labeling contract (verified against the compiled reference, SURVEY.md §2.4):
+final ``component = min(vertex_id)`` over the component. The reference's
+pseudo-random link policy (disjoint_set.hpp:13-21) only affects its internal
+tree shape, never the exported labels, so min-based hooking reproduces its
+output exactly once ids follow scan order.
+
+Scale design notes (100 TB / 1000 executors):
+- every superstep is one map-side-combinable ``groupBy().min()`` plus one
+  equi-join — no windows partitioned by vertex (a hot vertex would funnel
+  its whole adjacency into one task; groupBy gets partial aggregation and
+  the join gets AQE skew splitting instead);
+- the edge set shrinks monotonically toward #vertices (star edges), so AQE
+  re-coalesces partitions as rounds progress;
+- lineage is truncated every round via localCheckpoint (or durable parquet
+  checkpoints through plans.checkpoint for resumability).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EDGE_SCHEMA = "src BIGINT, dst BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Partition-local union-find pre-contraction (the imtag disjoint_set analog)
+# ---------------------------------------------------------------------------
+
+def _local_contract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Union-find over the edges of one partition; emit (vertex, local_root).
+
+    Pure NumPy, array-based, path-halving on vectorized lookups. The output
+    pairs are a spanning relabeling of this partition's edge set: feeding
+    them to the global algorithm preserves connectivity while cutting the
+    edge count to ≤ #distinct local vertices. This mirrors the reference's
+    single-address-space union-find, scoped to what actually shares an
+    address space in Spark: one partition.
+    """
+    frames = [pdf for pdf in batches if len(pdf)]
+    if not frames:
+        return
+    src = np.concatenate([f["src"].to_numpy(dtype=np.int64) for f in frames])
+    dst = np.concatenate([f["dst"].to_numpy(dtype=np.int64) for f in frames])
+    verts, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    a = idx[: len(src)]
+    b = idx[len(src):]
+    # Vectorized min-label propagation with pointer jumping — no per-edge
+    # Python. lbl holds *indices* into verts; verts is sorted ascending, so
+    # index-min == vertex-min (the labeling contract's min-hooking).
+    lbl = np.arange(len(verts), dtype=np.int64)
+    while True:
+        before = lbl.copy()
+        np.minimum.at(lbl, a, lbl[b])
+        np.minimum.at(lbl, b, lbl[a])
+        while True:  # pointer jumping: compress chains in O(log) passes
+            nxt = lbl[lbl]
+            if np.array_equal(nxt, lbl):
+                break
+            lbl = nxt
+        if np.array_equal(before, lbl):
+            break
+    yield pd.DataFrame({"src": verts, "dst": verts[lbl]})
+
+
+def local_contract(edges: DataFrame) -> DataFrame:
+    """Shuffle-free per-partition contraction: edges → (vertex, local_root) pairs."""
+    return edges.mapInPandas(_local_contract_batches, schema=EDGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Alternating star rounds (global merge)
+# ---------------------------------------------------------------------------
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
+    out = (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return out.distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u) to the min neighbor."""
+    oriented = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = oriented.join(mins, "src")
+    lower = joined.where(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_edge = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return lower.union(self_edge).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: overflow-proof under ANSI mode at any edge count
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    pre_contract: bool = True,
+    max_iter: int = 50,
+    checkpoint_every: int = 3,
+    checkpointer=None,
+    verbose: bool = False,
+) -> DataFrame:
+    """Edge table ``(src BIGINT, dst BIGINT)`` → labels ``(vertex, component)``.
+
+    ``component = min(vertex_id)`` of the component (exact-match contract,
+    SURVEY.md §2.4). Self-loops are tolerated; isolated vertices (appearing
+    only in self-loops) label themselves. Every vertex occurring in
+    ``edges`` appears exactly once in the result.
+
+    ``checkpointer`` — optional ``plans.checkpoint.SuperstepCheckpointer``
+    for durable per-superstep state + resume; defaults to in-memory
+    ``localCheckpoint`` lineage truncation.
+    """
+    spark = edges.sparkSession
+    universe = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    ).persist()
+
+    work = edges.where(F.col("src") != F.col("dst")).distinct()
+    if pre_contract:
+        # one co-locating shuffle is NOT needed: contract whatever partitions
+        # exist; the star rounds fix up cross-partition merges.
+        work = local_contract(work).where(F.col("src") != F.col("dst"))
+
+    start_iter = 0
+    resumed = checkpointer.resume() if checkpointer is not None else None
+    if resumed is not None:
+        work, start_iter = resumed
+
+    # Iterate with persist() (materialized by the fingerprint action — one
+    # Spark job per round) and truncate lineage only every
+    # ``checkpoint_every`` rounds: plan analysis cost stays bounded without
+    # paying a per-round checkpoint job.
+    import time as _time
+
+    # Lineage MUST be truncated every round: each star round's plan embeds
+    # the previous round's plan several times (sym appears in both the
+    # groupBy and the join side), so without truncation Catalyst analysis
+    # cost grows exponentially with rounds. Eager localCheckpoint gives a
+    # flat plan per round; the durable checkpointer (parquet) replaces it
+    # every `checkpoint_every` rounds when resumability is requested.
+    _t = _time.time()
+    work = work.localCheckpoint(eager=True)
+    prev_fp = _fingerprint(work)
+    if verbose:
+        print(f"[cc] init fp={prev_fp} {_time.time() - _t:.1f}s", flush=True)
+    for it in range(start_iter, max_iter):
+        _t = _time.time()
+        stepped = _small_star(_large_star(work))
+        if checkpointer is not None and (it + 1) % checkpoint_every == 0:
+            stepped = checkpointer.save(stepped, it + 1)
+        else:
+            stepped = stepped.localCheckpoint(eager=True)
+        fp = _fingerprint(stepped)
+        if verbose:
+            print(f"[cc] round {it + 1} fp={fp} {_time.time() - _t:.1f}s", flush=True)
+        if checkpointer is not None:
+            checkpointer.log_metrics(it + 1, edges=fp[0], fingerprint=fp[1])
+        work = stepped
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # work is now a star forest oriented (member -> root). Labels:
+    members = work.select(F.col("src").alias("vertex"), F.col("dst").alias("component"))
+    roots = work.select(F.col("dst").alias("vertex"), F.col("dst").alias("component"))
+    labels = members.union(roots).distinct()
+    out = (
+        universe.join(labels, "vertex", "left")
+        .select("vertex", F.coalesce("component", "vertex").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    universe.unpersist()
+    return out

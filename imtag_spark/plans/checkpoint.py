@@ -1,0 +1,85 @@
+"""Per-superstep durable checkpointing with resume (north-rule requirement).
+
+The reference mutates its union-find ``parents`` array in place
+(/root/reference/src/disjoint_set.hpp:54-64); the distributed analog is the
+per-superstep frontier DataFrame. We persist it to parquet each round with a
+JSON manifest (superstep number, edge count, fingerprint, wall time), which
+(a) truncates the Catalyst lineage so plans don't grow across iterations and
+(b) lets a killed job restart mid-iteration bit-identically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SuperstepCheckpointer:
+    """Parquet frontier checkpoints + manifest for iterative graph jobs."""
+
+    def __init__(self, spark: SparkSession, root: str, keep_last: int = 2) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.keep_last = keep_last
+        self._t0 = time.time()
+
+    @property
+    def manifest_path(self) -> Path:
+        return self.root / "manifest.json"
+
+    def _step_dir(self, step: int) -> Path:
+        return self.root / f"step={step:05d}"
+
+    def save(self, df: DataFrame, step: int) -> DataFrame:
+        path = str(self._step_dir(step))
+        df.write.mode("overwrite").parquet(path)
+        manifest = self._read_manifest()
+        manifest["last_step"] = step
+        manifest.setdefault("steps", {})[str(step)] = {
+            "path": path,
+            "wall_time_s": round(time.time() - self._t0, 3),
+        }
+        self._write_manifest(manifest)
+        self._gc(step)
+        return self.spark.read.parquet(path)
+
+    def log_metrics(self, step: int, **metrics) -> None:
+        manifest = self._read_manifest()
+        entry = manifest.setdefault("steps", {}).setdefault(str(step), {})
+        entry.update(metrics)
+        entry["wall_time_s"] = round(time.time() - self._t0, 3)
+        self._write_manifest(manifest)
+
+    def resume(self) -> tuple[DataFrame, int] | None:
+        """Return (frontier, step) of the newest durable checkpoint, if any."""
+        manifest = self._read_manifest()
+        last = manifest.get("last_step")
+        if last is None:
+            return None
+        path = self._step_dir(int(last))
+        if not path.exists():
+            return None
+        return self.spark.read.parquet(str(path)), int(last)
+
+    def _gc(self, current_step: int) -> None:
+        for d in sorted(self.root.glob("step=*")):
+            step = int(d.name.split("=")[1])
+            if step <= current_step - self.keep_last:
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+
+    def _read_manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {}
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+        os.replace(tmp, self.manifest_path)
