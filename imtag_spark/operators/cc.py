@@ -195,7 +195,9 @@ def connected_components(
         if checkpointer is not None and (it + 1) % checkpoint_every == 0:
             stepped = checkpointer.save(stepped, it + 1)
         else:
-            stepped = stepped.localCheckpoint(eager=True)
+            # lazy: the fingerprint collect below materializes the
+            # checkpoint, so each round costs exactly one Spark job
+            stepped = stepped.localCheckpoint(eager=False)
         fp = _fingerprint(stepped)
         if verbose:
             print(f"[cc] round {it + 1} fp={fp} {_time.time() - _t:.1f}s", flush=True)

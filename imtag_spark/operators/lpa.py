@@ -1,0 +1,74 @@
+"""Synchronous label propagation for community detection (north-rule operator).
+
+Generalizes the reference's "adopt a neighbor's label" merge
+(``disjoint_set::unite``, /root/reference/src/disjoint_set.hpp:125-137) into
+synchronous LPA: every superstep each vertex adopts the most frequent label
+among its neighbors, ties broken by the minimum label — fully deterministic,
+mirroring the reference's ``lt_cmp`` policy (disjoint_set.hpp:22-27).
+
+Scale notes: the frequency count is a map-side-combinable
+``groupBy(vertex,label).count()``; the argmax is taken with a single
+``max(struct(cnt, -label))`` aggregate rather than a per-vertex window
+(windows funnel a hot vertex's whole neighborhood through one task).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    max_iter: int = 10,
+    verbose: bool = False,
+) -> DataFrame:
+    """Edge table (src, dst) → (vertex, label) after ≤ max_iter synchronous rounds.
+
+    Undirected semantics (edges symmetrized). Isolated/self-loop-only
+    vertices keep their own id as label. Stops early when no label changes.
+    """
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+
+    universe = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = universe.select("vertex", F.col("vertex").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        t0 = time.time()
+        neighbor_labels = sym.join(
+            labels.select(F.col("vertex").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("vertex"), "label")
+        # most frequent neighbor label, min label on ties:
+        # max(struct(cnt, -label)) == argmax by (count asc→desc, label desc→asc)
+        freq = neighbor_labels.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        best = (
+            freq.groupBy("vertex")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("b"))
+            .select("vertex", (-F.col("b.neg")).alias("label"))
+        )
+        new_labels = (
+            universe.join(best, "vertex", "left")
+            .join(labels.withColumnRenamed("label", "old_label"), "vertex")
+            .select("vertex", F.coalesce("label", "old_label").alias("label"),
+                    "old_label")
+        ).localCheckpoint(eager=False)
+        changed = new_labels.where(F.col("label") != F.col("old_label")).count()
+        if verbose:
+            print(f"[lpa] iter {it + 1} changed={changed} {time.time() - t0:.1f}s", flush=True)
+        labels = new_labels.select("vertex", "label")
+        if changed == 0:
+            break
+    return labels

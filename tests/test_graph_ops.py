@@ -1,0 +1,110 @@
+"""Micro-graph unit tests (FIXTURES.md §3) against independent oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from imtag_spark.operators.cc import connected_components
+from imtag_spark.operators.lpa import label_propagation
+from imtag_spark.operators.pagerank import pagerank
+from imtag_spark.operators.stats import degrees
+from imtag_spark.operators.triangles import total_triangles, triangle_count
+from oracles import brute_triangles, numpy_pagerank
+
+TWO_TRIANGLES_BRIDGE = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs] or [], "src BIGINT, dst BIGINT"
+    )
+
+
+def test_cc_two_triangles_bridge(spark):
+    labels = connected_components(edges_df(spark, TWO_TRIANGLES_BRIDGE))
+    rows = {r.vertex: r.component for r in labels.collect()}
+    assert rows == {v: 1 for v in range(1, 7)}
+
+
+def test_cc_path_converges_fast(spark):
+    n = 2000
+    path = [(i, i + 1) for i in range(n)]
+    labels = connected_components(edges_df(spark, path), max_iter=20)
+    comps = labels.select("component").distinct().collect()
+    assert len(comps) == 1 and comps[0].component == 0
+
+
+def test_cc_isolated_and_selfloops(spark):
+    e = edges_df(spark, [(7, 7), (8, 9), (9, 8), (10, 10)])
+    rows = {r.vertex: r.component for r in connected_components(e).collect()}
+    assert rows == {7: 7, 8: 8, 9: 8, 10: 10}
+
+
+def test_triangles_two_triangles_bridge(spark):
+    e = edges_df(spark, TWO_TRIANGLES_BRIDGE)
+    assert total_triangles(e) == 2
+    per = {r.vertex: r.triangles for r in triangle_count(e).collect()}
+    assert per == {v: 1 for v in range(1, 7)}
+
+
+def test_triangles_random_vs_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 30, size=(120, 2))}
+    e = edges_df(spark, pairs)
+    expected_total, expected_per = brute_triangles(list(pairs))
+    assert total_triangles(e) == expected_total
+    got = {r.vertex: r.triangles for r in triangle_count(e).collect()}
+    for v, c in expected_per.items():
+        assert got.get(v, 0) == c
+
+
+def test_triangles_star_has_none(spark):
+    e = edges_df(spark, [(0, i) for i in range(1, 50)])
+    assert total_triangles(e) == 0
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_pagerank_vs_numpy(spark, directed):
+    rng = np.random.default_rng(11)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 25, size=(80, 2)) if a != b})
+    e = edges_df(spark, pairs)
+    got = {r.vertex: r.rank for r in pagerank(
+        e, directed=directed, tol=1e-8, max_iter=200).collect()}
+    want = numpy_pagerank(pairs, [], directed=directed)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_closed_form(spark):
+    # hub 0 with k spokes, undirected: symmetric closed form
+    k = 50
+    e = edges_df(spark, [(0, i) for i in range(1, k + 1)])
+    got = {r.vertex: r.rank for r in pagerank(
+        e, directed=False, tol=1e-8, max_iter=200).collect()}
+    want = numpy_pagerank([(0, i) for i in range(1, k + 1)], [], directed=False)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6
+    # spokes all equal
+    spoke_vals = [got[i] for i in range(1, k + 1)]
+    assert max(spoke_vals) - min(spoke_vals) < 1e-12
+
+
+def test_lpa_two_cliques(spark):
+    # two 4-cliques joined by one bridge edge: LPA should give 2 communities
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    e = edges_df(spark, c1 + c2 + [(3, 10)])
+    labels = {r.vertex: r.label for r in label_propagation(e, max_iter=10).collect()}
+    comm1 = {labels[v] for v in range(4)}
+    comm2 = {labels[v] for v in range(10, 14)}
+    assert len(comm1) == 1 and len(comm2) == 1 and comm1 != comm2
+
+
+def test_degrees(spark):
+    e = edges_df(spark, [(1, 2), (2, 1), (2, 3), (3, 3)])
+    got = {r.vertex: r.degree for r in degrees(e).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
