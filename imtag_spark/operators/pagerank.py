@@ -39,6 +39,7 @@ def pagerank(
     checkpointer=None,
     checkpoint_every: int = 5,
     verbose: bool = False,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Edge table (src, dst) → ranks (vertex, rank). Ranks sum to 1.
 
@@ -129,6 +130,9 @@ def pagerank(
             print(f"[pagerank] iter {it + 1} delta={delta:.3e} {time.time() - t0:.1f}s", flush=True)
         if checkpointer is not None:
             checkpointer.log_metrics(it + 1, l1_delta=delta)
+        if metrics_out is not None:
+            metrics_out.setdefault("superstep_times", []).append(time.time() - t0)
+            metrics_out["supersteps"] = it + 1
         ranks = new_ranks
         if delta < tol:
             break

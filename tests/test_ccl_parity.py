@@ -9,15 +9,14 @@ from __future__ import annotations
 
 import pytest
 
-from imtag_spark.operators.cc import connected_components
 from imtag_spark.operators.interval_join import CROSS, EIGHT_WAY, adjacent_row_edges
 from imtag_spark.operators.label_image import (
     label_image_sha256,
     labeled_cells,
     to_label_image,
 )
-from imtag_spark.operators.relabel import densely_relabel
 from imtag_spark.operators.rle import grid_to_runs
+from imtag_spark.plans.pipelines import label_runs
 from imtag_spark.sources.grids import GRID_SPECS, named_grid, grid_to_cells
 
 # name → (runs, cross_edges, cross_components, cross_sha, eight_components, eight_sha)
@@ -48,17 +47,7 @@ def _run_pipeline(spark, name: str, connectivity: str):
     cells = grid_to_cells(spark, grid)
     runs = grid_to_runs(cells).persist()
     edges = adjacent_row_edges(runs, connectivity)
-    labels = connected_components(edges)
-    # runs with no edges at all never appear in `edges`; union them in as
-    # their own components (the CC universe is edge-derived)
-    from pyspark.sql import functions as F
-
-    all_vert = runs.select(F.col("id").alias("vertex"))
-    labels = (
-        all_vert.join(labels, "vertex", "left")
-        .select("vertex", F.coalesce("component", "vertex").alias("component"))
-    )
-    dense = densely_relabel(labels, base=1)
+    dense = label_runs(runs, connectivity, base=1)
     cells_out = labeled_cells(runs, dense)
     img = to_label_image(cells_out, *grid.shape)
     runs_n = runs.count()
