@@ -6,9 +6,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from imtag_spark.operators.cc import connected_components
-from imtag_spark.operators.interval_join import adjacent_row_edges
+from imtag_spark.operators.interval_join import interval_join, adjacent_row_edges
+from imtag_spark.operators.morphology import complement_runs
 from imtag_spark.operators.relabel import densely_relabel
-from imtag_spark.operators.rle import grid_to_runs
+from imtag_spark.operators.rle import grid_to_runs, with_scan_order_ids
 
 
 def label_runs(
@@ -40,3 +41,54 @@ def label_cells(
     """cells → (runs, dense labels) — full two-pass CCL."""
     runs = grid_to_runs(cells).localCheckpoint(eager=True)
     return runs, label_runs(runs, connectivity, metrics_out=metrics_out)
+
+
+def invert(
+    runs: DataFrame, n_rows: int, n_cols: int
+) -> tuple[DataFrame, DataFrame]:
+    """M1 full pipeline (reference morphology.cpp:101-142): per-row interval
+    complement, then re-CCL of the complement — the reference always labels
+    the inverted image with CROSS connectivity (morphology.cpp:139).
+
+    Returns (water_runs with scan-order ids, dense labels for them).
+    """
+    water = with_scan_order_ids(
+        complement_runs(runs, n_rows, n_cols)
+    ).localCheckpoint(eager=True)
+    return water, label_runs(water, "cross")
+
+
+def hole_adjacencies(
+    runs: DataFrame,
+    n_rows: int,
+    n_cols: int,
+    connectivity: str = "cross",
+) -> DataFrame:
+    """M4 (reference entry point 2, src/imtag.cpp:106-112 →
+    src/morphology.cpp:264-312): which holes border which components.
+
+    The reference's positional interleave pairing (J2) is replaced by a
+    plain same-row non-strict interval join between land runs and water
+    runs — identical output (SURVEY.md §2.3 J2), one equi-join on ``row``
+    with a band predicate instead of 49 lines of off-by-one cases.
+
+    Returns the bipartite edge DataFrame (component BIGINT, hole BIGINT)
+    over dense 1-based labels — the scalable analog of the reference's
+    dense ``adjacency_matrix`` (include/imtag.hpp:121-146).
+    """
+    land_labels = label_runs(runs, connectivity)
+    land = runs.join(
+        land_labels.select(F.col("vertex").alias("id"), "dense_label"), "id"
+    ).select("row", "col_begin", "col_end", F.col("dense_label").alias("component"))
+
+    water_runs, water_labels = invert(runs, n_rows, n_cols)
+    water = water_runs.join(
+        water_labels.select(F.col("vertex").alias("id"), "dense_label"), "id"
+    ).select("row", "col_begin", "col_end", F.col("dense_label").alias("hole"))
+
+    paired = interval_join(
+        land.select("row", "col_begin", "col_end", "component"),
+        water.select("row", "col_begin", "col_end", "hole"),
+        strict=False,
+    )
+    return paired.select("component", F.col("hole_r").alias("hole")).distinct()

@@ -1,0 +1,80 @@
+"""Multimodal binary-column plumbing: header decode, frame/patch fan-out,
+metadata invariants. The codec itself is stubbed (no image libs in this
+container) — these tests pin the Spark-side schema/batch contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from imtag_spark.operators.multimodal import (
+    attach_blob_meta,
+    decode_blob_meta,
+    decode_image,
+    frame_sample,
+    pack_fake_blob,
+    patch_grid,
+    resize_spec,
+)
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rows = [
+        (0, pack_fake_blob(64, 48, 3, 1, seed=0)),
+        (1, pack_fake_blob(320, 240, 3, 25, seed=1)),
+        (2, pack_fake_blob(17, 90, 1, 1, seed=2)),
+        (3, b"not-a-blob"),
+    ]
+    return spark.createDataFrame(rows, "id BIGINT, blob BINARY").localCheckpoint()
+
+
+def test_attach_blob_meta_sha_and_length(spark, blobs):
+    out = {r["id"]: r for r in attach_blob_meta(blobs).collect()}
+    raw = pack_fake_blob(64, 48, 3, 1, seed=0)
+    assert out[0]["blob_bytes"] == len(raw)
+    assert out[0]["blob_sha"] == hashlib.sha256(raw).hexdigest()
+    assert out[3]["blob_bytes"] == len(b"not-a-blob")
+
+
+def test_decode_blob_meta_header_fields(spark, blobs):
+    out = {r["id"]: r for r in decode_blob_meta(blobs).collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["channels"]) == (64, 48, 3)
+    assert out[1]["n_frames"] == 25
+    assert out[2]["channels"] == 1
+    # non-conforming blob degrades to zeros, payload = full length
+    assert out[3]["width"] == 0 and out[3]["payload_bytes"] == len(b"not-a-blob")
+
+
+def test_real_decode_is_gated(spark, blobs):
+    with pytest.raises(NotImplementedError):
+        decode_image(blobs)
+
+
+def test_frame_sample(spark, blobs):
+    meta = decode_blob_meta(blobs)
+    frames = frame_sample(meta, every_k=10).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    assert sorted(by_id[1]) == [0, 10, 20]
+    assert sorted(by_id[0]) == [0]
+
+
+def test_resize_spec_preserves_aspect(spark, blobs):
+    meta = decode_blob_meta(blobs)
+    out = {r["id"]: r for r in resize_spec(meta, 32).collect()}
+    # 64x48 -> shorter side 48 -> 32: (43, 32)
+    assert (out[0]["target_width"], out[0]["target_height"]) == (43, 32)
+    assert 3 not in out  # non-blob filtered
+
+
+def test_patch_grid_counts(spark, blobs):
+    meta = decode_blob_meta(blobs)
+    out = patch_grid(meta, 16).groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = {r["id"]: r["n"] for r in out}
+    assert counts[0] == (64 // 16) * (48 // 16)
+    assert counts[1] == (320 // 16) * (240 // 16)
+    assert counts[2] == (17 // 16) * (90 // 16)
