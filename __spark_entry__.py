@@ -18,12 +18,37 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from imtag_spark.operators.cc import connected_components  # noqa: E402
-from imtag_spark.operators.dedup import exact_duplicates  # noqa: E402
+from imtag_spark.operators.dedup import (  # noqa: E402
+    exact_duplicates,
+    exact_jaccard,
+    minhash_dedup_clusters,
+    shingle_hashes,
+    simhash_candidates,
+    simhash_signatures,
+)
+from imtag_spark.operators.lpa import label_propagation  # noqa: E402
+from imtag_spark.operators.morphology import complement_runs, dilate  # noqa: E402
+from imtag_spark.operators.multimodal import attach_blob_meta  # noqa: E402
 from imtag_spark.operators.pagerank import pagerank  # noqa: E402
-from imtag_spark.operators.similarity import knn_bruteforce  # noqa: E402
-from imtag_spark.operators.stats import degrees  # noqa: E402
-from imtag_spark.operators.text import with_doc_stats  # noqa: E402
+from imtag_spark.operators.rle import grid_to_runs, with_scan_order_ids  # noqa: E402
+from imtag_spark.operators.similarity import (  # noqa: E402
+    cosine_pairs_lsh,
+    ivf_index,
+    knn_bruteforce,
+    knn_ivf,
+)
+from imtag_spark.operators.stats import component_stats, degrees  # noqa: E402
+from imtag_spark.operators.text import (  # noqa: E402
+    fingerprint,
+    language_id,
+    quality_score,
+    with_doc_stats,
+)
 from imtag_spark.operators.triangles import triangle_count  # noqa: E402
+from imtag_spark.plans.pipelines import (  # noqa: E402
+    hole_adjacencies,
+    label_runs,
+)
 from imtag_spark.sources.tables import (  # noqa: E402
     ORDER_OFFSET,
     customer_order_edges,
@@ -55,6 +80,35 @@ def entry(spark: SparkSession) -> DataFrame:
             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic CCL grid (computable identically in Spark and plain SQL)
+# ---------------------------------------------------------------------------
+
+GRID_R = GRID_C = 24
+# foreground iff (3r² + 5c² + rc) mod 13 < 6 — nonlinear, so blobs are
+# irregular: 166 runs / 98 edges / 68 components on the 24×24 grid
+_MASK_SQL = (
+    "((i // {c}) * (i // {c}) * 3 + (i % {c}) * (i % {c}) * 5"
+    " + (i // {c}) * (i % {c})) % 13 < 6"
+).format(c=GRID_C)
+
+
+def _grid_cells(spark: SparkSession) -> DataFrame:
+    r, c = F.col("row"), F.col("col")
+    return (
+        spark.range(GRID_R * GRID_C)
+        .select(
+            (F.col("id") / GRID_C).cast("int").alias("row"),
+            (F.col("id") % GRID_C).cast("int").alias("col"),
+        )
+        .where((r * r * 3 + c * c * 5 + r * c) % 13 < 6)
+    )
+
+
+def _as_long(df: DataFrame, *cols: str) -> DataFrame:
+    return df.select(*[F.col(c).cast("long").alias(c) for c in cols])
 
 
 # ---------------------------------------------------------------------------
@@ -139,8 +193,133 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ccl_grid_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = grid_to_runs(_grid_cells(spark))
+    labels = label_runs(runs, "cross")
+    joined = runs.join(
+        labels.select(F.col("vertex").alias("id"), "dense_label"), "id"
+    )
+    return _as_long(joined, "id", "row", "col_begin", "col_end", "dense_label")
+
+
+def _q_ccl_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = grid_to_runs(_grid_cells(spark))
+    labels = label_runs(runs, "cross")
+    rl = runs.join(labels.select(F.col("vertex").alias("id"), "dense_label"), "id")
+    st = component_stats(rl, label_col="dense_label")
+    return st.select(
+        F.col("dense_label").cast("long").alias("dense_label"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.col("npixels").cast("long").alias("npixels"),
+        F.col("bbox_left").cast("long").alias("bbox_left"),
+        F.col("bbox_top").cast("long").alias("bbox_top"),
+        F.col("bbox_right").cast("long").alias("bbox_right"),
+        F.col("bbox_bottom").cast("long").alias("bbox_bottom"),
+        F.round("centroid_col", 6).alias("centroid_col"),
+        F.round("centroid_row", 6).alias("centroid_row"),
+    )
+
+
+def _q_invert_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = grid_to_runs(_grid_cells(spark))
+    inv = with_scan_order_ids(complement_runs(runs, GRID_R, GRID_C))
+    return _as_long(inv, "id", "row", "col_begin", "col_end")
+
+
+def _q_dilate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = grid_to_runs(_grid_cells(spark))
+    return _as_long(
+        dilate(runs, 1, 1, GRID_R, GRID_C), "row", "col_begin", "col_end"
+    )
+
+
+def _q_hole_adjacency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = grid_to_runs(_grid_cells(spark))
+    adj = hole_adjacencies(runs, GRID_R, GRID_C, "cross")
+    return _as_long(adj, "component", "hole")
+
+
+def _q_lpa2_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(nation_chain_edges(spark, sf_dir), max_iter=2)
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", "quality")
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_guess", "lang_score")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "text_sha")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs40 = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    sh = shingle_hashes(docs40, k=5)
+    ids_a = docs40.select(F.col("doc_id").alias("a"))
+    ids_b = docs40.select(F.col("doc_id").alias("b"))
+    pairs = ids_a.crossJoin(ids_b).where(F.col("a") < F.col("b"))
+    return exact_jaccard(sh, pairs).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    return attach_blob_meta(docs).select("doc_id", "blob_bytes", "blob_sha")
+
+
+# --- rows-only queries (no SQL-expressible oracle; weaker driver check) ----
+
+
+def _q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_dedup_clusters(docs, threshold=0.8)
+
+
+def _q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_candidates(simhash_signatures(docs), max_hamming=3)
+
+
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents, assigned = ivf_index(emb, n_centroids=32)
+    q = emb.where(F.col("vec_id") < 20)
+    return knn_ivf(assigned, cents, q, k=5, n_probe=4)
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # testdata embeddings top out around cosine 0.46 pairwise; 6 planes /
+    # 0.3 keeps the LSH bucket join selective while returning real pairs
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs_lsh(emb, n_planes=6, threshold=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ccl_grid_labels": _q_ccl_grid_labels,
+        "ccl_grid_stats": _q_ccl_grid_stats,
+        "invert_grid_runs": _q_invert_grid,
+        "dilate_grid_runs": _q_dilate_grid,
+        "hole_adjacency_grid": _q_hole_adjacency_grid,
+        "lpa2_chains": _q_lpa2_chains,
+        "quality_documents": _q_quality,
+        "language_id_documents": _q_language_id,
+        "fingerprint_documents": _q_fingerprint,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "blob_meta_documents": _q_blob_meta,
+        "minhash_clusters_documents": _q_minhash_clusters,
+        "simhash_candidates_documents": _q_simhash_candidates,
+        "knn_ivf_embeddings": _q_knn_ivf,
+        "cosine_pairs_embeddings": _q_cosine_pairs,
         "edges_customer_orders": _q_edges,
         "degrees_customer_orders": _q_degrees,
         "cc_customer_orders": _q_cc_orders,
@@ -198,9 +377,256 @@ def _pagerank_iter_sql(i: int) -> str:
 )"""
 
 
+# --- grid CCL oracle building blocks (same deterministic 24×24 grid) -------
+
+_GRID_CELLS = f"""
+cells AS (
+  SELECT (i // {GRID_C}) AS row, (i % {GRID_C}) AS col
+  FROM generate_series(0, {GRID_R * GRID_C - 1}) AS t(i)
+  WHERE {_MASK_SQL}
+)"""
+
+_GRID_BGCELLS = f"""
+bgcells AS (
+  SELECT (i // {GRID_C}) AS row, (i % {GRID_C}) AS col
+  FROM generate_series(0, {GRID_R * GRID_C - 1}) AS t(i)
+  WHERE NOT ({_MASK_SQL})
+)"""
+
+
+def _islands_rle(src: str, prefix: str) -> str:
+    """Gaps-and-islands RLE of a cell table + scan-order run ids."""
+    return f"""
+{prefix}runs0 AS (
+  SELECT row, col,
+         col - row_number() OVER (PARTITION BY row ORDER BY col) AS island
+  FROM {src}
+),
+{prefix}runs AS (
+  SELECT row, min(col) AS col_begin, max(col) + 1 AS col_end
+  FROM {prefix}runs0 GROUP BY row, island
+),
+{prefix}ids AS (
+  SELECT row, col_begin, col_end,
+         row_number() OVER (ORDER BY row, col_begin) - 1 AS id
+  FROM {prefix}runs
+)"""
+
+
+def _cc_sql(prefix: str, strict: bool = True) -> str:
+    """Adjacent-row overlap edges + recursive min-label reachability."""
+    lt = "<" if strict else "<="
+    return f"""
+{prefix}edges AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM {prefix}ids a JOIN {prefix}ids b ON b.row = a.row + 1
+   AND a.col_begin {lt} b.col_end AND b.col_begin {lt} a.col_end
+),
+{prefix}sym AS (
+  SELECT src, dst FROM {prefix}edges
+  UNION SELECT dst AS src, src AS dst FROM {prefix}edges
+),
+{prefix}reach AS (
+  SELECT id AS v, id AS lbl FROM {prefix}ids
+  UNION
+  SELECT s.dst AS v, r.lbl FROM {prefix}reach r
+  JOIN {prefix}sym s ON s.src = r.v
+),
+{prefix}comp AS (SELECT v, min(lbl) AS component FROM {prefix}reach GROUP BY v),
+{prefix}labeled AS (
+  SELECT i.id, i.row, i.col_begin, i.col_end,
+         dense_rank() OVER (ORDER BY c.component) AS dense_label
+  FROM {prefix}ids i JOIN {prefix}comp c ON c.v = i.id
+)"""
+
+
+_CCL_GRID_LABELS_SQL = (
+    "WITH RECURSIVE " + _GRID_CELLS + "," + _islands_rle("cells", "") + ","
+    + _cc_sql("")
+    + "\nSELECT id, row, col_begin, col_end, dense_label FROM labeled"
+)
+
+_CCL_GRID_STATS_SQL = (
+    "WITH RECURSIVE " + _GRID_CELLS + "," + _islands_rle("cells", "") + ","
+    + _cc_sql("")
+    + """
+SELECT dense_label,
+       count(*) AS n_runs,
+       sum(col_end - col_begin) AS npixels,
+       min(col_begin) AS bbox_left,
+       min(row) AS bbox_top,
+       max(col_end) AS bbox_right,
+       max(row) + 1 AS bbox_bottom,
+       round(sum(((col_end - 1) * col_end - (col_begin - 1) * col_begin) / 2)
+             / sum(col_end - col_begin)::DOUBLE, 6) AS centroid_col,
+       round(sum((col_end - col_begin) * row)
+             / sum(col_end - col_begin)::DOUBLE, 6) AS centroid_row
+FROM labeled GROUP BY dense_label"""
+)
+
+_INVERT_GRID_SQL = (
+    "WITH " + _GRID_BGCELLS + "," + _islands_rle("bgcells", "")
+    + "\nSELECT id, row, col_begin, col_end FROM ids"
+)
+
+_DILATE_GRID_SQL = (
+    "WITH " + _GRID_CELLS + ","
+    + f"""
+dcells AS (
+  SELECT DISTINCT c.row + dr.d AS row, c.col + dc.d AS col
+  FROM cells c, (VALUES (-1), (0), (1)) AS dr(d), (VALUES (-1), (0), (1)) AS dc(d)
+  WHERE c.row + dr.d BETWEEN 0 AND {GRID_R - 1}
+    AND c.col + dc.d BETWEEN 0 AND {GRID_C - 1}
+),""" + _islands_rle("dcells", "")
+    + "\nSELECT row, col_begin, col_end FROM ids"
+)
+
+_HOLE_ADJ_GRID_SQL = (
+    "WITH RECURSIVE " + _GRID_CELLS + "," + _GRID_BGCELLS + ","
+    + _islands_rle("cells", "land_") + "," + _cc_sql("land_") + ","
+    + _islands_rle("bgcells", "water_") + "," + _cc_sql("water_")
+    + """
+SELECT DISTINCT l.dense_label AS component, w.dense_label AS hole
+FROM land_labeled l JOIN water_labeled w ON w.row = l.row
+ AND l.col_begin <= w.col_end AND w.col_begin <= l.col_end"""
+)
+
+# two unrolled synchronous LPA rounds on the supplier chains: adopt the most
+# frequent neighbor label, min label on ties (matches operators/lpa.py)
+_LPA2_CHAINS_SQL = """
+WITH chains AS (
+  SELECT s_nationkey, s_suppkey,
+         lag(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS prev
+  FROM supplier
+),
+edges AS (
+  SELECT prev AS src, s_suppkey AS dst FROM chains WHERE prev IS NOT NULL
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+verts AS (SELECT DISTINCT src AS vertex FROM sym),
+l0 AS (SELECT vertex, vertex AS label FROM verts),
+f1 AS (
+  SELECT s.dst AS vertex, l.label, count(*) AS cnt
+  FROM sym s JOIN l0 l ON l.vertex = s.src GROUP BY s.dst, l.label
+),
+b1 AS (
+  SELECT vertex, label,
+         row_number() OVER (PARTITION BY vertex ORDER BY cnt DESC, label ASC) AS rk
+  FROM f1
+),
+l1 AS (
+  SELECT v.vertex, coalesce(b.label, v.vertex) AS label
+  FROM verts v LEFT JOIN (SELECT vertex, label FROM b1 WHERE rk = 1) b
+    ON b.vertex = v.vertex
+),
+f2 AS (
+  SELECT s.dst AS vertex, l.label, count(*) AS cnt
+  FROM sym s JOIN l1 l ON l.vertex = s.src GROUP BY s.dst, l.label
+),
+b2 AS (
+  SELECT vertex, label,
+         row_number() OVER (PARTITION BY vertex ORDER BY cnt DESC, label ASC) AS rk
+  FROM f2
+)
+SELECT v.vertex, coalesce(b.label, v.vertex) AS label
+FROM verts v LEFT JOIN (SELECT vertex, label FROM b2 WHERE rk = 1) b
+  ON b.vertex = v.vertex
+"""
+
+_STOPWORD_SQL = {
+    "en": "['the','and','of','to','in','is','that','it','for','was']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','auf','zu']",
+    "fr": "['le','la','les','et','est','pas','une','des','dans','pour']",
+    "es": "['el','la','los','que','y','es','en','un','por','con']",
+}
+
+_LANGUAGE_ID_SQL = (
+    """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        f"    len(list_filter(toks, x -> list_contains({words}, x)))"
+        f" / greatest(len(toks), 1)::DOUBLE AS s_{lang}"
+        for lang, words in _STOPWORD_SQL.items()
+    )
+    + """
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'unknown'
+            WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       round(greatest(s_en, s_de, s_fr, s_es), 6) AS lang_score
+FROM s
+"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     pr_iters = ",\n".join(_pagerank_iter_sql(i) for i in range(1, 6))
     return {
+        "ccl_grid_labels": _CCL_GRID_LABELS_SQL,
+        "ccl_grid_stats": _CCL_GRID_STATS_SQL,
+        "invert_grid_runs": _INVERT_GRID_SQL,
+        "dilate_grid_runs": _DILATE_GRID_SQL,
+        "hole_adjacency_grid": _HOLE_ADJ_GRID_SQL,
+        "lpa2_chains": _LPA2_CHAINS_SQL,
+        "quality_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS nt,
+                     round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                           / greatest(length(text), 1)::DOUBLE, 6) AS pr,
+                     round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                           / greatest(length(text), 1)::DOUBLE, 6) AS ur
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(0.5 * (CASE WHEN nt BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END)
+                       + 0.25 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END)
+                       + 0.25 * (CASE WHEN ur <= 0.3 THEN 1.0 ELSE 0.5 END), 6) AS quality
+            FROM d
+        """,
+        "language_id_documents": _LANGUAGE_ID_SQL,
+        "fingerprint_documents": """
+            SELECT doc_id, sha256(text) AS text_sha FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH d AS (
+              SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 40
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, substring(t, i::INT, 5) AS s
+              FROM d, LATERAL unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT i.a, i.b,
+                   round(i.ni / (sa.n + sb.n - i.ni)::DOUBLE, 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+        """,
+        "blob_meta_documents": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS blob_bytes,
+                   sha256(text) AS blob_sha
+            FROM documents
+        """,
         "edges_customer_orders": f"""
             SELECT DISTINCT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst
             FROM orders
