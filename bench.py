@@ -165,6 +165,28 @@ def main() -> None:
         "edges_per_sec_per_superstep": headline,
         "detail": extra,
     }
+    # attach the two-parallelism scaling evidence (north rule ≥0.8 N→4N),
+    # produced by bench/scaling.py on the 64M-edge synthetic workload
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            runs = json.load(f)
+        result["scaling"] = {
+            pair: {
+                "n_edges": r["n_edges"],
+                "efficiency": r["scaling_efficiency"],
+                "eps": {
+                    cpus: {
+                        "pagerank_steady": lv["eps_pagerank_steady"],
+                        "pagerank_min": lv["eps_pagerank_min"],
+                        "cc": lv["eps_cc"],
+                    }
+                    for cpus, lv in r["levels"].items()
+                },
+            }
+            for pair, r in runs.items()
+        }
     print(json.dumps(result))
 
 

@@ -1,0 +1,96 @@
+"""One parallelism level of the scaling experiment — run in its OWN process
+(one JVM per measurement; ``local[k]`` must not be reused across levels).
+
+Builds a deterministic synthetic edge table entirely JVM-side
+(``spark.range`` + ``xxhash64`` — no driver funneling, arbitrarily
+scalable), runs PageRank (fixed supersteps) and CC to convergence, prints
+one JSON line with per-superstep times.
+
+Usage: python bench/scaling_worker.py <cpus> [n_edges] [n_vertices] [skew]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from imtag_spark.operators.cc import connected_components  # noqa: E402
+from imtag_spark.operators.pagerank import pagerank  # noqa: E402
+from imtag_spark.session import get_spark  # noqa: E402
+
+
+def synthetic_edges(spark, n_edges: int, n_vertices: int, skew: bool):
+    """Deterministic pseudo-random edge table, generated distributed.
+
+    ``skew=True`` squares the dst hash fraction — a power-law-ish degree
+    bias toward low vertex ids (heavy hitters), exercising AQE skew
+    handling in the superstep joins.
+    """
+    ids = spark.range(n_edges)
+    src = F.pmod(F.xxhash64(F.col("id")), F.lit(n_vertices))
+    dst_u = F.pmod(F.xxhash64(F.col("id") + n_edges), F.lit(n_vertices))
+    if skew:
+        dst = ((dst_u * dst_u) / F.lit(n_vertices)).cast("long")
+    else:
+        dst = dst_u
+    return (
+        ids.select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    n_edges = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    n_vertices = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    skew = len(sys.argv) > 4 and sys.argv[4] == "skew"
+    spark = get_spark(
+        app_name=f"scaling_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    edges = synthetic_edges(spark, n_edges, n_vertices, skew).localCheckpoint(
+        eager=True
+    )
+    m = edges.count()
+
+    pr_m: dict = {}
+    pagerank(edges, directed=True, tol=0.0, max_iter=10, metrics_out=pr_m).count()
+    cc_m: dict = {}
+    connected_components(edges, metrics_out=cc_m).count()
+
+    def eps(times):
+        return round(m / (sum(times) / len(times)), 1) if times else None
+
+    pr_times = pr_m["superstep_times"]
+    # steady state: drop the first two supersteps (JVM JIT + AQE warmup —
+    # a long-running production job runs hundreds of supersteps, so the
+    # steady-state rate is the honest per-superstep throughput). The
+    # min-based figure uses the single fastest superstep: identical
+    # deterministic work per round, so the min is the least
+    # noise-contaminated observation on this shared-hypervisor host.
+    pr_steady = pr_times[2:] if len(pr_times) > 4 else pr_times
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_edges": m,
+                "skew": skew,
+                "pagerank_superstep_times": [round(t, 3) for t in pr_times],
+                "cc_superstep_times": [round(t, 3) for t in cc_m["superstep_times"]],
+                "eps_pagerank": eps(pr_times),
+                "eps_pagerank_steady": eps(pr_steady),
+                "eps_pagerank_min": round(m / min(pr_times), 1),
+                "eps_cc": eps(cc_m["superstep_times"]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

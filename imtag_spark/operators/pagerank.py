@@ -63,23 +63,35 @@ def pagerank(
         return edges.sparkSession.createDataFrame([], "vertex BIGINT, rank DOUBLE")
 
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # transition table: one row per edge with its 1/out_deg weight — built
-    # once, reused every superstep
+    # Transition table: one row per edge with its 1/out_deg weight — built
+    # once, reused every superstep. CRITICAL for scale: persist it
+    # hash-partitioned AND sorted on the superstep join key. A cached
+    # InMemoryRelation advertises its child's outputPartitioning/ordering
+    # to Catalyst (localCheckpoint does NOT — LogicalRDD drops both, which
+    # re-exchanged and re-sorted all E rows every superstep); with the
+    # cache, each superstep exchanges only the V-row ranks side while the
+    # E-row side never moves again.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     transitions = (
         e.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .localCheckpoint(eager=True)
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src")
+        .persist()
     )
+    transitions.count()  # materialize the cache before timing supersteps
     has_out = out_deg.select(F.col("src").alias("vertex"), F.lit(True).alias("_has_out"))
-    # vertex table annotated with dangling flag (computed once)
-    vstate = (
+    # vertex table annotated with dangling flag (computed once); the flag
+    # travels inside the rank table so the loop never joins it again
+    ranks = (
         vertices.join(has_out, "vertex", "left")
-        .select("vertex", F.coalesce("_has_out", F.lit(False)).alias("has_out"))
+        .select(
+            "vertex",
+            F.coalesce("_has_out", F.lit(False)).alias("has_out"),
+            F.lit(1.0 / n).alias("rank"),
+        )
         .localCheckpoint(eager=True)
     )
-
-    ranks = vstate.select("vertex", "has_out", F.lit(1.0 / n).alias("rank"))
-    ranks = ranks.localCheckpoint(eager=True)
     # dangling mass of the CURRENT ranks; recomputed inside each round's
     # single convergence-check job so every superstep costs exactly one
     # Spark job (join + agg + checkpoint materialization fused).
@@ -97,8 +109,11 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
+        # scatter-merge: old rank rides along as r0, so the convergence
+        # check below is a plain aggregate — no extra V⋈V join per round
         new_ranks = (
-            vstate.join(contribs.withColumnRenamed("dst", "vertex"), "vertex", "left")
+            ranks.withColumnRenamed("rank", "r0")
+            .join(contribs.withColumnRenamed("dst", "vertex"), "vertex", "left")
             .select(
                 "vertex",
                 "has_out",
@@ -107,6 +122,7 @@ def pagerank(
                     + F.lit(alpha)
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
+                "r0",
             )
         )
         if checkpointer is not None and (it + 1) % checkpoint_every == 0:
@@ -115,17 +131,14 @@ def pagerank(
             # lazy: materialized (and lineage truncated) by the collect below
             new_ranks = new_ranks.localCheckpoint(eager=False)
         # One job: L1 delta + next round's dangling mass together.
-        row = (
-            new_ranks.select("vertex", "has_out", F.col("rank").alias("r1"))
-            .join(ranks.select("vertex", F.col("rank").alias("r0")), "vertex")
-            .agg(
-                F.sum(F.abs(F.col("r1") - F.col("r0"))).alias("delta"),
-                F.coalesce(
-                    F.sum(F.when(~F.col("has_out"), F.col("r1"))), F.lit(0.0)
-                ).alias("dangling"),
-            )
+        row = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("r0"))).alias("delta"),
+            F.coalesce(
+                F.sum(F.when(~F.col("has_out"), F.col("rank"))), F.lit(0.0)
+            ).alias("dangling"),
         ).collect()[0]
         delta, dangling = float(row["delta"]), float(row["dangling"])
+        new_ranks = new_ranks.drop("r0")
         if verbose:
             print(f"[pagerank] iter {it + 1} delta={delta:.3e} {time.time() - t0:.1f}s", flush=True)
         if checkpointer is not None:
@@ -136,4 +149,6 @@ def pagerank(
         ranks = new_ranks
         if delta < tol:
             break
+    # ranks are checkpointed per round — safe to drop the setup cache
+    transitions.unpersist()
     return ranks.select("vertex", "rank")

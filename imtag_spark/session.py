@@ -29,6 +29,15 @@ def get_spark(
     master = master or f"local[{cpus}]"
     n_shuffle = shuffle_partitions or (int(cpus) if str(cpus).isdigit() else 32)
 
+    # Shuffle/spill files on tmpfs when available: this host's /tmp is a
+    # virtio disk that serializes under many concurrent shuffle writers —
+    # with 32 task threads the disk, not the CPUs, becomes the bottleneck
+    # and parallel scaling collapses. On a real cluster the equivalent is
+    # NVMe/ramdisk local dirs per executor.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/imtag_spark_local"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -45,6 +54,8 @@ def get_spark(
         # iterative graph supersteps re-use shuffle outputs; keep them around
         .config("spark.shuffle.service.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

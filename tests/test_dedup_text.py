@@ -1,0 +1,172 @@
+"""Dedup / similarity / text operators vs independent Python/NumPy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from imtag_spark.operators.dedup import (
+    exact_duplicates,
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_dedup_clusters,
+    minhash_signatures,
+    shingle_hashes,
+    simhash_candidates,
+    simhash_signatures,
+)
+from imtag_spark.operators.similarity import (
+    cosine_pairs_lsh,
+    ivf_index,
+    knn_bruteforce,
+    knn_ivf,
+)
+from imtag_spark.operators.text import language_id, quality_score, token_count
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast!"),  # near-dup of 0
+    (2, "der hund und die katze sind nicht auf der couch mit dem ball"),
+    (3, "le chat est dans la maison et il est pas dans le jardin"),
+    (4, "completely different text about spark dataframes and shuffles"),
+    (5, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id BIGINT, text STRING").localCheckpoint()
+
+
+def _py_shingles(t: str, k: int = 5) -> set[str]:
+    import re
+
+    t = re.sub(r"\s+", " ", t.lower())
+    n = max(len(t) - (k - 1), 1)
+    return {t[i:i + k] for i in range(n)}
+
+
+def test_exact_duplicates_groups(spark, docs):
+    rows = exact_duplicates(docs).collect()
+    groups = {r["representative"]: r["n_copies"] for r in rows}
+    assert groups[0] == 2  # docs 0 and 5
+    assert sum(groups.values()) == len(DOCS)
+
+
+def test_shingle_jaccard_matches_python(spark, docs):
+    sh = shingle_hashes(docs, k=5)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)], "a BIGINT, b BIGINT"
+    )
+    got = {(r["a"], r["b"]): r["jaccard"] for r in exact_jaccard(sh, pairs).collect()}
+    for (a, b), j in got.items():
+        sa, sb = _py_shingles(DOCS[a][1]), _py_shingles(DOCS[b][1])
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(j - want) < 1e-12, (a, b)
+    assert got[(0, 5)] == 1.0
+    assert got[(0, 1)] > 0.9
+
+
+def test_minhash_approximates_jaccard(spark, docs):
+    sigs = {r["id"]: np.array(r["sig"]) for r in
+            minhash_signatures(docs, num_hashes=256).collect()}
+    est = (sigs[0] == sigs[1]).mean()
+    sa, sb = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[1][1])
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(est - true_j) < 0.12  # 256 hashes → se ≈ 0.03
+    assert (sigs[0] == sigs[5]).all()  # exact dups → identical signatures
+
+
+def test_minhash_clusters_find_near_dups(spark, docs):
+    clusters = {r["id"]: r["cluster"] for r in
+                minhash_dedup_clusters(docs, threshold=0.8).collect()}
+    assert clusters.get(0) == clusters.get(1) == clusters.get(5) == 0
+    assert 4 not in clusters  # no near-dup partner
+
+
+def test_simhash_near_dups_are_close(spark, docs):
+    sigs = simhash_signatures(docs)
+    cands = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_candidates(sigs, max_hamming=10).collect()}
+    assert cands.get((0, 5)) == 0  # exact dup
+    assert (0, 1) in cands or (1, 5) in cands  # near-dup within hamming 10
+
+
+def test_knn_bruteforce_vs_numpy(spark):
+    rng = np.random.default_rng(17)
+    mat = rng.standard_normal((40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    q = df.where(F.col("vec_id") < 5)
+    got = {}
+    for r in knn_bruteforce(df, q, k=3).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    for qi in range(5):
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        want = list(np.argsort(-s)[:3])
+        assert got[qi] == want, qi
+
+
+def test_knn_ivf_recall_against_bruteforce(spark):
+    rng = np.random.default_rng(19)
+    # clustered data (IVF's favorable regime)
+    centers = rng.standard_normal((8, 16)) * 5
+    mat = np.vstack([c + rng.standard_normal((30, 16)) for c in centers]).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    ).localCheckpoint()
+    q = df.where(F.col("vec_id") % 40 == 0)
+    cents, assigned = ivf_index(df, n_centroids=16)
+    exact = {}
+    for r in knn_bruteforce(df, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in knn_ivf(assigned, cents, q, k=5, n_probe=8).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[k] & approx.get(k, set())) / len(exact[k]) for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_cosine_pairs_lsh_only_high_sim(spark):
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((30, 12))
+    near = base[:10] + 0.01 * rng.standard_normal((10, 12))  # ids 30..39 ≈ ids 0..9
+    mat = np.vstack([base, near]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    pairs = {(r["a"], r["b"]) for r in
+             cosine_pairs_lsh(df, n_planes=8, threshold=0.99).collect()}
+    found = sum((i, 30 + i) in pairs for i in range(10))
+    assert found >= 8  # LSH recall on near-identical vectors
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for a, b in pairs:
+        assert float(normed[a] @ normed[b]) >= 0.99 - 1e-6
+
+
+def test_quality_and_language(spark, docs):
+    q = {r["doc_id"]: r["quality"] for r in
+         quality_score(docs).select("doc_id", "quality").collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    langs = {r["doc_id"]: r["lang_guess"] for r in language_id(docs).collect()}
+    assert langs[0] == "en" and langs[2] == "de" and langs[3] == "fr"
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two words",), ("  padded  tokens  ",)],
+        "text STRING",
+    )
+    got = [r["n"] for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert got == [0, 0, 1, 2, 2]
