@@ -79,6 +79,30 @@ def test_pagerank_vs_numpy(spark, directed):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+@pytest.mark.parametrize("directed", [True, False])
+def test_pagerank_broadcast_mode_vs_numpy(spark, directed):
+    rng = np.random.default_rng(29)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 25, size=(80, 2)) if a != b})
+    e = edges_df(spark, pairs)
+    got = {r.vertex: r.rank for r in pagerank(
+        e, directed=directed, tol=1e-8, max_iter=200, mode="broadcast").collect()}
+    want = numpy_pagerank(pairs, [], directed=directed)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+def test_pagerank_modes_agree(spark):
+    rng = np.random.default_rng(31)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 60, size=(300, 2)) if a != b})
+    e = edges_df(spark, pairs)
+    j = {r.vertex: r.rank for r in pagerank(e, tol=0.0, max_iter=15, mode="join").collect()}
+    b = {r.vertex: r.rank for r in pagerank(e, tol=0.0, max_iter=15, mode="broadcast").collect()}
+    assert set(j) == set(b)
+    for v in j:
+        assert abs(j[v] - b[v]) < 1e-12
+
+
 def test_pagerank_star_closed_form(spark):
     # hub 0 with k spokes, undirected: symmetric closed form
     k = 50
