@@ -25,7 +25,11 @@ def label_runs(
     Returns (vertex, component, dense_label) with dense labels ``base..``.
     """
     edges = adjacent_row_edges(runs, connectivity)
-    labels = connected_components(edges, metrics_out=metrics_out)
+    # scan-order run ids carry spatial locality — range partitioning lets
+    # the partition-local union-find collapse whole image regions round 1
+    labels = connected_components(
+        edges, range_partition=True, metrics_out=metrics_out
+    )
     all_vert = runs.select(F.col("id").alias("vertex"))
     full = all_vert.join(labels, "vertex", "left").select(
         "vertex", F.coalesce("component", "vertex").alias("component")
