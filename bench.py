@@ -26,10 +26,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from imtag_spark.operators.cc import connected_components  # noqa: E402
 from imtag_spark.operators.dedup import exact_duplicates  # noqa: E402
 from imtag_spark.operators.interval_join import adjacent_row_edges  # noqa: E402
+from imtag_spark.operators.lpa import label_propagation  # noqa: E402
 from imtag_spark.operators.pagerank import pagerank  # noqa: E402
 from imtag_spark.operators.rle import grid_to_runs  # noqa: E402
 from imtag_spark.operators.similarity import knn_bruteforce  # noqa: E402
-from imtag_spark.plans.pipelines import label_runs  # noqa: E402
+from imtag_spark.plans.pipelines import hole_adjacencies, label_runs  # noqa: E402
 from imtag_spark.operators.triangles import triangle_count  # noqa: E402
 from imtag_spark.session import get_spark  # noqa: E402
 from imtag_spark.sources.grids import grid_to_cells, make_grid  # noqa: E402
@@ -72,6 +73,8 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     timed("triangles_parts", lambda: triangle_count(part_edges).count())
 
+    timed("lpa5_parts", lambda: label_propagation(part_edges, max_iter=5).count())
+
     # --- dataset-pipeline workloads ---------------------------------------
     docs = load(spark, sf_dir, "documents")
     timed("dedup_exact_documents", lambda: exact_duplicates(docs).count())
@@ -89,6 +92,12 @@ def run_bench(spark, sf_dir: str) -> dict:
     runs = grid_to_runs(cells).localCheckpoint(eager=True)
     edges = adjacent_row_edges(runs, "cross").localCheckpoint(eager=True)
     extra["grid_edges"] = edges.count()
+
+    # morphology entry point 2 on a 256² grid (full invert + re-CCL + join)
+    grid_m = make_grid(256, 256, 0.55, 42)
+    runs_m = grid_to_runs(grid_to_cells(spark, grid_m)).localCheckpoint(eager=True)
+    timed("hole_adjacencies_256", lambda: hole_adjacencies(
+        runs_m, *grid_m.shape).count())
 
     def grid_ccl():
         m: dict = {}

@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(column pruning to the scan, broadcast of small sides, no vertex-
+partitioned windows in graph hot paths) must be visible in `.explain`.
+A passing result here is what makes the 100 TB claims more than prose."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imtag_spark.operators.stats import filter_components_by_size
+from imtag_spark.sources.tables import load, part_cooccurrence_edges
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_edge_scan_prunes_columns(spark):
+    plan = _formatted_plan(part_cooccurrence_edges(spark, SF_DIR, keep_mod=4))
+    # lineitem has 16 columns; the edge build must read exactly two
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_edge_self_join_broadcasts(spark):
+    plan = _formatted_plan(part_cooccurrence_edges(spark, SF_DIR, keep_mod=4))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_size_filter_semi_join_broadcasts(spark):
+    runs = spark.createDataFrame(
+        [(0, 0, 0, 5), (1, 0, 5, 9)],
+        "component BIGINT, row INT, col_begin INT, col_end INT",
+    ).select("row", "col_begin", "col_end", "component")
+    plan = _formatted_plan(filter_components_by_size(runs, 4))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = load(spark, SF_DIR, "orders").where(F.col("o_orderkey") > 100).select(
+        "o_orderkey"
+    )
+    plan = _formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]" in plan
+
+
+def test_graph_hot_path_has_no_vertex_window(spark):
+    # windows partitioned by vertex funnel hot-vertex adjacency through one
+    # task; CC/PageRank supersteps must be join+agg only
+    from imtag_spark.operators.cc import _small_star, _large_star
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src BIGINT, dst BIGINT")
+    plan = _formatted_plan(_small_star(_large_star(e)))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
