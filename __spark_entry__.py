@@ -37,7 +37,11 @@ from imtag_spark.operators.similarity import (  # noqa: E402
     knn_bruteforce,
     knn_ivf,
 )
-from imtag_spark.operators.stats import component_stats, degrees  # noqa: E402
+from imtag_spark.operators.stats import (  # noqa: E402
+    component_stats,
+    degrees,
+    filter_components_by_size,
+)
 from imtag_spark.operators.text import (  # noqa: E402
     fingerprint,
     language_id,
@@ -220,6 +224,24 @@ def _q_ccl_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ccl_grid_labels_eight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = grid_to_runs(_grid_cells(spark))
+    labels = label_runs(runs, "eight_way")
+    joined = runs.join(
+        labels.select(F.col("vertex").alias("id"), "dense_label"), "id"
+    )
+    return _as_long(joined, "id", "row", "col_begin", "col_end", "dense_label")
+
+
+def _q_component_filter_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3 HAVING-filter + M3 removal: keep runs of components ≥ 6 pixels
+    runs = grid_to_runs(_grid_cells(spark))
+    labels = label_runs(runs, "cross")
+    rl = runs.join(labels.select(F.col("vertex").alias("id"), "dense_label"), "id")
+    kept = filter_components_by_size(rl, 6, label_col="dense_label")
+    return _as_long(kept, "id", "row", "col_begin", "col_end", "dense_label")
+
+
 def _q_invert_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = grid_to_runs(_grid_cells(spark))
     inv = with_scan_order_ids(complement_runs(runs, GRID_R, GRID_C))
@@ -306,7 +328,9 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ccl_grid_labels": _q_ccl_grid_labels,
+        "ccl_grid_labels_eight": _q_ccl_grid_labels_eight,
         "ccl_grid_stats": _q_ccl_grid_stats,
+        "component_filter_grid": _q_component_filter_grid,
         "invert_grid_runs": _q_invert_grid,
         "dilate_grid_runs": _q_dilate_grid,
         "hole_adjacency_grid": _q_hole_adjacency_grid,
@@ -446,6 +470,23 @@ _CCL_GRID_LABELS_SQL = (
     + "\nSELECT id, row, col_begin, col_end, dense_label FROM labeled"
 )
 
+_CCL_GRID_LABELS_EIGHT_SQL = (
+    "WITH RECURSIVE " + _GRID_CELLS + "," + _islands_rle("cells", "") + ","
+    + _cc_sql("", strict=False)
+    + "\nSELECT id, row, col_begin, col_end, dense_label FROM labeled"
+)
+
+_COMPONENT_FILTER_GRID_SQL = (
+    "WITH RECURSIVE " + _GRID_CELLS + "," + _islands_rle("cells", "") + ","
+    + _cc_sql("")
+    + """
+SELECT id, row, col_begin, col_end, dense_label FROM labeled
+WHERE dense_label IN (
+  SELECT dense_label FROM labeled
+  GROUP BY dense_label HAVING sum(col_end - col_begin) >= 6
+)"""
+)
+
 _CCL_GRID_STATS_SQL = (
     "WITH RECURSIVE " + _GRID_CELLS + "," + _islands_rle("cells", "") + ","
     + _cc_sql("")
@@ -573,7 +614,9 @@ def oracle_sql() -> dict[str, str]:
     pr_iters = ",\n".join(_pagerank_iter_sql(i) for i in range(1, 6))
     return {
         "ccl_grid_labels": _CCL_GRID_LABELS_SQL,
+        "ccl_grid_labels_eight": _CCL_GRID_LABELS_EIGHT_SQL,
         "ccl_grid_stats": _CCL_GRID_STATS_SQL,
+        "component_filter_grid": _COMPONENT_FILTER_GRID_SQL,
         "invert_grid_runs": _INVERT_GRID_SQL,
         "dilate_grid_runs": _DILATE_GRID_SQL,
         "hole_adjacency_grid": _HOLE_ADJ_GRID_SQL,
