@@ -161,6 +161,33 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _chained_count(edges: DataFrame) -> tuple[int, int]:
+    """(total rows, rows whose dst is also some row's src).
+
+    Every round's output edge points strictly downward (src > dst), so the
+    output is a star forest — i.e. TERMINAL — exactly when no dst appears
+    as a src (depth 1). Star forests are fixpoints of the round function
+    and their roots are component minima (connectivity is preserved by
+    every round), so stopping here is exact and saves the confirmation
+    round that fingerprint-equality detection costs.
+    """
+    srcs = (
+        edges.select("src")
+        .distinct()
+        .withColumnRenamed("src", "dst")
+        .withColumn("_m", F.lit(1))
+    )
+    row = (
+        edges.join(srcs, "dst", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("_m"), F.lit(0)).alias("chained"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["chained"])
+
+
 def connected_components(
     edges: DataFrame,
     *,
@@ -229,30 +256,32 @@ def connected_components(
     # every `checkpoint_every` rounds when resumability is requested.
     _t = _time.time()
     work = work.localCheckpoint(eager=True)
-    prev_fp = _fingerprint(work)
     if verbose:
-        print(f"[cc] init fp={prev_fp} {_time.time() - _t:.1f}s", flush=True)
+        print(f"[cc] init {_time.time() - _t:.1f}s", flush=True)
     for it in range(start_iter, max_iter):
         _t = _time.time()
         stepped = _star_contract_round(work)
         if checkpointer is not None and (it + 1) % checkpoint_every == 0:
             stepped = checkpointer.save(stepped, it + 1)
         else:
-            # lazy: the fingerprint collect below materializes the
-            # checkpoint, so each round costs exactly one Spark job
+            # lazy: the convergence-certificate collect below materializes
+            # the checkpoint, so each round costs exactly one Spark job
             stepped = stepped.localCheckpoint(eager=False)
-        fp = _fingerprint(stepped)
+        n_edges, chained = _chained_count(stepped)
         if verbose:
-            print(f"[cc] round {it + 1} fp={fp} {_time.time() - _t:.1f}s", flush=True)
+            print(
+                f"[cc] round {it + 1} edges={n_edges} chained={chained} "
+                f"{_time.time() - _t:.1f}s",
+                flush=True,
+            )
         if checkpointer is not None:
-            checkpointer.log_metrics(it + 1, edges=fp[0], fingerprint=fp[1])
+            checkpointer.log_metrics(it + 1, edges=n_edges, chained=chained)
         if metrics_out is not None:
             metrics_out.setdefault("superstep_times", []).append(_time.time() - _t)
             metrics_out["supersteps"] = it + 1
         work = stepped
-        if fp == prev_fp:
+        if chained == 0:
             break
-        prev_fp = fp
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

@@ -12,11 +12,15 @@ from imtag_spark.operators.cc import connected_components
 from imtag_spark.plans.checkpoint import SuperstepCheckpointer
 
 
-def _chain_edges(spark, n=2000, stride=1):
-    # long path graph — needs several star rounds to converge
+def _chain_edges(spark, n=5000):
+    # long path on PERMUTED vertex ids: (i*48271) % 65537 is a bijection on
+    # [0, 65537), so consecutive chain vertices land in unrelated hash
+    # partitions and the partition-local contraction cannot shortcut the
+    # global rounds — guarantees a multi-superstep run
+    perm = lambda c: (c * 48271) % 65537  # noqa: E731
     return spark.range(n - 1).select(
-        (F.col("id") * stride).alias("src"), ((F.col("id") + 1) * stride).alias("dst")
-    )
+        perm(F.col("id")).alias("src"), perm(F.col("id") + 1).alias("dst")
+    ).repartition(8)
 
 
 def _labels_dict(df):
@@ -35,7 +39,7 @@ def test_checkpointer_writes_manifest_and_metrics(spark, tmp_path):
     assert manifest["last_step"] >= 2
     steps = manifest["steps"]
     # per-superstep lineage metrics recorded
-    assert all("edges" in v and "fingerprint" in v and "wall_time_s" in v
+    assert all("edges" in v and "chained" in v and "wall_time_s" in v
                for v in steps.values())
 
 
