@@ -162,14 +162,18 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def _chained_count(edges: DataFrame) -> tuple[int, int]:
-    """(total rows, rows whose dst is also some row's src).
+    """(total rows, non-star-forest witnesses) for convergence detection.
 
     Every round's output edge points strictly downward (src > dst), so the
-    output is a star forest — i.e. TERMINAL — exactly when no dst appears
-    as a src (depth 1). Star forests are fixpoints of the round function
-    and their roots are component minima (connectivity is preserved by
-    every round), so stopping here is exact and saves the confirmation
-    round that fingerprint-equality detection costs.
+    output is a TERMINAL disjoint star forest exactly when (a) no dst
+    appears as a src (depth 1) and (b) every src carries a single pointer
+    — (b) matters because the partition-local contraction can emit
+    ``x → rootA`` and ``x → rootB`` from two partitions that both saw x;
+    depth-1 alone would accept that while x's labels are still ambiguous.
+    Disjoint star forests are fixpoints of the round function and their
+    roots are component minima (connectivity is preserved by every round),
+    so stopping here is exact and saves the confirmation round that
+    fingerprint-equality detection costs.
     """
     srcs = (
         edges.select("src")
@@ -181,11 +185,14 @@ def _chained_count(edges: DataFrame) -> tuple[int, int]:
         edges.join(srcs, "dst", "left")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.countDistinct("src").alias("n_src"),
             F.coalesce(F.sum("_m"), F.lit(0)).alias("chained"),
         )
         .collect()[0]
     )
-    return int(row["n"]), int(row["chained"])
+    n = int(row["n"])
+    witnesses = int(row["chained"]) + (n - int(row["n_src"]))
+    return n, witnesses
 
 
 def connected_components(

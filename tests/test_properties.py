@@ -31,12 +31,15 @@ def test_cc_is_partition_with_min_labels(spark, seed):
     n_v = int(rng.integers(5, 60))
     n_e = int(rng.integers(0, 120))
     pairs = [(int(a), int(b)) for a, b in rng.integers(0, n_v, size=(n_e, 2))]
-    labels = {r["vertex"]: r["component"]
-              for r in connected_components(_edges_df(spark, pairs)).collect()}
+    rows = connected_components(_edges_df(spark, pairs)).collect()
+    labels = {r["vertex"]: r["component"] for r in rows}
     if not pairs:
         assert labels == {}
         return
-    # every edge endpoint labeled exactly once, label == min of component
+    # every edge endpoint labeled EXACTLY once (a dict comprehension alone
+    # would mask duplicate-vertex rows — the bug class the star-forest
+    # certificate once had), label == min of component
+    assert len(rows) == len(labels)
     verts = {v for p in pairs for v in p}
     assert set(labels) == verts
     oracle = cc_min_label(max(verts) + 1, [(a, b) for a, b in pairs])
