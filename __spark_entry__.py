@@ -37,10 +37,13 @@ from imtag_spark.operators.similarity import (  # noqa: E402
     knn_bruteforce,
     knn_ivf,
 )
+from imtag_spark.operators.label_image import colorize_runs  # noqa: E402
+from imtag_spark.operators.relabel import dense_component_ranks  # noqa: E402
 from imtag_spark.operators.stats import (  # noqa: E402
     component_stats,
     degrees,
     filter_components_by_size,
+    remove_components,
 )
 from imtag_spark.operators.text import (  # noqa: E402
     fingerprint,
@@ -111,6 +114,42 @@ def _grid_cells(spark: SparkSession) -> DataFrame:
     )
 
 
+# The driver gate runs every queries() entry in one session; six of them
+# share the same grid RLE + CCL pipeline. Compute each (runs, labels-per-
+# connectivity) once per SparkSession and hold the localCheckpointed result
+# — pure latency optimization, no query's output changes.
+_GRID_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _grid_runs(spark: SparkSession) -> DataFrame:
+    key = (id(spark), "__runs__")
+    if key not in _GRID_CACHE:
+        _GRID_CACHE[key] = grid_to_runs(_grid_cells(spark)).localCheckpoint(
+            eager=True
+        )
+    return _GRID_CACHE[key]
+
+
+def _grid_labels(spark: SparkSession, connectivity: str) -> DataFrame:
+    key = (id(spark), connectivity)
+    if key not in _GRID_CACHE:
+        _GRID_CACHE[key] = label_runs(
+            _grid_runs(spark), connectivity
+        ).localCheckpoint(eager=True)
+    return _GRID_CACHE[key]
+
+
+def _grid_runs_labeled(spark: SparkSession, connectivity: str = "cross") -> DataFrame:
+    """Grid runs joined with their dense labels (id, row, col_begin, col_end,
+    dense_label) — the shared prefix of the stats/filter/removal queries."""
+    return _grid_runs(spark).join(
+        _grid_labels(spark, connectivity).select(
+            F.col("vertex").alias("id"), "dense_label"
+        ),
+        "id",
+    )
+
+
 def _as_long(df: DataFrame, *cols: str) -> DataFrame:
     return df.select(*[F.col(c).cast("long").alias(c) for c in cols])
 
@@ -128,8 +167,18 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(customer_order_edges(spark, sf_dir))
 
 
+def _cc_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC labels over the customer↔order graph, once per (session, sf_dir)."""
+    key = (id(spark), "cc_orders", sf_dir)
+    if key not in _GRID_CACHE:
+        _GRID_CACHE[key] = connected_components(
+            customer_order_edges(spark, sf_dir)
+        )  # already localCheckpointed by the operator
+    return _GRID_CACHE[key]
+
+
 def _q_cc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return connected_components(customer_order_edges(spark, sf_dir))
+    return _cc_customer_orders(spark, sf_dir)
 
 
 def _q_cc_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,12 +186,12 @@ def _q_cc_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labels = connected_components(customer_order_edges(spark, sf_dir))
+    labels = _cc_customer_orders(spark, sf_dir)
     return labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
 def _q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labels = connected_components(customer_order_edges(spark, sf_dir))
+    labels = _cc_customer_orders(spark, sf_dir)
     orders = load(spark, sf_dir, "orders").select(
         (F.col("o_orderkey") + F.lit(ORDER_OFFSET)).alias("vertex"), "o_totalprice"
     )
@@ -198,18 +247,12 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ccl_grid_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    runs = grid_to_runs(_grid_cells(spark))
-    labels = label_runs(runs, "cross")
-    joined = runs.join(
-        labels.select(F.col("vertex").alias("id"), "dense_label"), "id"
-    )
+    joined = _grid_runs_labeled(spark, "cross")
     return _as_long(joined, "id", "row", "col_begin", "col_end", "dense_label")
 
 
 def _q_ccl_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    runs = grid_to_runs(_grid_cells(spark))
-    labels = label_runs(runs, "cross")
-    rl = runs.join(labels.select(F.col("vertex").alias("id"), "dense_label"), "id")
+    rl = _grid_runs_labeled(spark, "cross")
     st = component_stats(rl, label_col="dense_label")
     return st.select(
         F.col("dense_label").cast("long").alias("dense_label"),
@@ -219,45 +262,71 @@ def _q_ccl_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bbox_top").cast("long").alias("bbox_top"),
         F.col("bbox_right").cast("long").alias("bbox_right"),
         F.col("bbox_bottom").cast("long").alias("bbox_bottom"),
-        F.round("centroid_col", 6).alias("centroid_col"),
-        F.round("centroid_row", 6).alias("centroid_row"),
+        # micro-unit integer centroids: bit-stable across engines (Spark
+        # F.round routes through BigDecimal, DuckDB rounds the double — same
+        # 6dp text, different last ulp; integers dodge float identity)
+        F.col("centroid_col_u"),
+        F.col("centroid_row_u"),
     )
 
 
 def _q_ccl_grid_labels_eight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    runs = grid_to_runs(_grid_cells(spark))
-    labels = label_runs(runs, "eight_way")
-    joined = runs.join(
-        labels.select(F.col("vertex").alias("id"), "dense_label"), "id"
-    )
+    joined = _grid_runs_labeled(spark, "eight_way")
     return _as_long(joined, "id", "row", "col_begin", "col_end", "dense_label")
 
 
 def _q_component_filter_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P3 HAVING-filter + M3 removal: keep runs of components ≥ 6 pixels
-    runs = grid_to_runs(_grid_cells(spark))
-    labels = label_runs(runs, "cross")
-    rl = runs.join(labels.select(F.col("vertex").alias("id"), "dense_label"), "id")
+    # P3 HAVING-filter: keep runs of components ≥ 6 pixels
+    rl = _grid_runs_labeled(spark, "cross")
     kept = filter_components_by_size(rl, 6, label_col="dense_label")
     return _as_long(kept, "id", "row", "col_begin", "col_end", "dense_label")
 
 
+def _q_remove_renumber_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M3+P4 chain (reference test/imtag_test.cpp:130-152 →
+    # src/morphology.cpp:190-232): explicit removal of the small components
+    # (anti-join on the bad-label list) followed by a DENSE renumber of the
+    # survivors 1..M — the compressed_freeze-after-removal pipeline.
+    rl = _grid_runs_labeled(spark, "cross")
+    st = component_stats(rl, label_col="dense_label")
+    bad = st.where(F.col("npixels") < 6).select("dense_label")
+    kept = remove_components(rl, bad, label_col="dense_label")
+    ranks = dense_component_ranks(
+        kept.select("dense_label"), component_col="dense_label",
+        rank_col="new_label", base=1,
+    )
+    out = kept.join(F.broadcast(ranks), "dense_label")
+    return _as_long(out, "id", "row", "col_begin", "col_end", "new_label")
+
+
+def _q_rgba_label_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S7 to_rgba_label_image analog: broadcast-join with the color dimension
+    rl = _grid_runs_labeled(spark, "cross")
+    colored = colorize_runs(rl, label_col="dense_label")
+    return _as_long(
+        colored, "id", "row", "col_begin", "col_end", "dense_label",
+        "r", "g", "b", "a",
+    )
+
+
 def _q_invert_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    runs = grid_to_runs(_grid_cells(spark))
+    runs = _grid_runs(spark)
     inv = with_scan_order_ids(complement_runs(runs, GRID_R, GRID_C))
     return _as_long(inv, "id", "row", "col_begin", "col_end")
 
 
 def _q_dilate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    runs = grid_to_runs(_grid_cells(spark))
+    runs = _grid_runs(spark)
     return _as_long(
         dilate(runs, 1, 1, GRID_R, GRID_C), "row", "col_begin", "col_end"
     )
 
 
 def _q_hole_adjacency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    runs = grid_to_runs(_grid_cells(spark))
-    adj = hole_adjacencies(runs, GRID_R, GRID_C, "cross")
+    runs = _grid_runs(spark)
+    adj = hole_adjacencies(
+        runs, GRID_R, GRID_C, "cross", land_labels=_grid_labels(spark, "cross")
+    )
     return _as_long(adj, "component", "hole")
 
 
@@ -331,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccl_grid_labels_eight": _q_ccl_grid_labels_eight,
         "ccl_grid_stats": _q_ccl_grid_stats,
         "component_filter_grid": _q_component_filter_grid,
+        "remove_renumber_grid": _q_remove_renumber_grid,
+        "rgba_label_grid": _q_rgba_label_grid,
         "invert_grid_runs": _q_invert_grid,
         "dilate_grid_runs": _q_dilate_grid,
         "hole_adjacency_grid": _q_hole_adjacency_grid,
@@ -498,11 +569,42 @@ SELECT dense_label,
        min(row) AS bbox_top,
        max(col_end) AS bbox_right,
        max(row) + 1 AS bbox_bottom,
-       round(sum(((col_end - 1) * col_end - (col_begin - 1) * col_begin) / 2)
-             / sum(col_end - col_begin)::DOUBLE, 6) AS centroid_col,
-       round(sum((col_end - col_begin) * row)
-             / sum(col_end - col_begin)::DOUBLE, 6) AS centroid_row
+       (sum((col_end - 1) * col_end - (col_begin - 1) * col_begin) * 1000000
+        + sum(col_end - col_begin)) // (2 * sum(col_end - col_begin))
+         AS centroid_col_u,
+       (sum((col_end - col_begin) * row) * 2000000
+        + sum(col_end - col_begin)) // (2 * sum(col_end - col_begin))
+         AS centroid_row_u
 FROM labeled GROUP BY dense_label"""
+)
+
+_REMOVE_RENUMBER_GRID_SQL = (
+    "WITH RECURSIVE " + _GRID_CELLS + "," + _islands_rle("cells", "") + ","
+    + _cc_sql("")
+    + """,
+surv AS (
+  SELECT dense_label FROM labeled
+  GROUP BY dense_label HAVING sum(col_end - col_begin) >= 6
+),
+ranks AS (
+  SELECT dense_label,
+         dense_rank() OVER (ORDER BY dense_label) AS new_label
+  FROM surv
+)
+SELECT l.id, l.row, l.col_begin, l.col_end, r.new_label
+FROM labeled l JOIN ranks r USING (dense_label)"""
+)
+
+_RGBA_LABEL_GRID_SQL = (
+    "WITH RECURSIVE " + _GRID_CELLS + "," + _islands_rle("cells", "") + ","
+    + _cc_sql("")
+    + """
+SELECT id, row, col_begin, col_end, dense_label,
+       c // 65536 AS r, (c // 256) % 256 AS g, c % 256 AS b, 255 AS a
+FROM (
+  SELECT *, ((dense_label % 16777216) * 2654435761) % 16777216 AS c
+  FROM labeled
+)"""
 )
 
 _INVERT_GRID_SQL = (
@@ -617,6 +719,8 @@ def oracle_sql() -> dict[str, str]:
         "ccl_grid_labels_eight": _CCL_GRID_LABELS_EIGHT_SQL,
         "ccl_grid_stats": _CCL_GRID_STATS_SQL,
         "component_filter_grid": _COMPONENT_FILTER_GRID_SQL,
+        "remove_renumber_grid": _REMOVE_RENUMBER_GRID_SQL,
+        "rgba_label_grid": _RGBA_LABEL_GRID_SQL,
         "invert_grid_runs": _INVERT_GRID_SQL,
         "dilate_grid_runs": _DILATE_GRID_SQL,
         "hole_adjacency_grid": _HOLE_ADJ_GRID_SQL,

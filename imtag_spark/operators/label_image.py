@@ -44,3 +44,46 @@ def to_label_image(
 def label_image_sha256(img: np.ndarray) -> str:
     """sha256 of the raw uint32-LE row-major buffer — the FIXTURES.md golden format."""
     return hashlib.sha256(np.ascontiguousarray(img.astype("<u4")).tobytes()).hexdigest()
+
+
+def label_color_dim(labels: DataFrame, label_col: str = "dense_label") -> DataFrame:
+    """S7 color dimension table: one deterministic RGBA per distinct label.
+
+    The reference's ``to_rgba_label_image`` maps labels to colors via a user
+    dict + seeded-rand fill (/root/reference/src/morphology.cpp:37-59); the
+    Spark analog is a *color dimension table* — here filled with a
+    closed-form 24-bit mix of the label (any user mapping can be unioned
+    over it). Tiny (one row per component), built for broadcast.
+    """
+    # reduce the label mod 2^24 before the Knuth-multiply so the product
+    # stays far below int64 overflow (ANSI mode throws on overflow)
+    base = (
+        labels.select(label_col)
+        .distinct()
+        .select(
+            label_col,
+            F.expr(
+                f"pmod(pmod({label_col}, 16777216) * 2654435761, 16777216)"
+            ).alias("_c"),
+        )
+    )
+    return base.select(
+        label_col,
+        F.expr("CAST(_c DIV 65536 AS INT)").alias("r"),
+        F.expr("CAST(pmod(_c DIV 256, 256) AS INT)").alias("g"),
+        F.expr("CAST(pmod(_c, 256) AS INT)").alias("b"),
+        F.lit(255).alias("a"),
+    )
+
+
+def colorize_runs(
+    runs_with_labels: DataFrame,
+    colors: DataFrame | None = None,
+    label_col: str = "dense_label",
+) -> DataFrame:
+    """S7 ``to_rgba_label_image`` analog: broadcast-join runs with the color
+    dimension — the rendered-run table (densification to actual RGBA pixels
+    is a sink-side concern, same as ``to_label_image``)."""
+    if colors is None:
+        colors = label_color_dim(runs_with_labels, label_col)
+    return runs_with_labels.join(F.broadcast(colors), label_col)

@@ -68,33 +68,17 @@ def pagerank(
     """
     if mode not in ("join", "broadcast", "auto"):
         raise ValueError(f"unknown mode: {mode}")
-    if mode != "join":
-        e0 = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
-        if not directed:
-            e0 = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        e0 = e0.distinct()
-        n_v = (
-            e0.select(F.col("src").alias("v"))
-            .union(e0.select(F.col("dst").alias("v")))
-            .distinct()
-            .count()
+    if mode == "broadcast" and checkpointer is not None:
+        raise ValueError(
+            "mode='broadcast' holds rank state driver-side and does not "
+            "support a checkpointer; use mode='join' (or 'auto', which "
+            "routes checkpointed runs to the join path)"
         )
-        if mode == "broadcast" or (
-            n_v <= BROADCAST_VERTEX_LIMIT and checkpointer is None
-        ):
-            return _pagerank_broadcast(
-                e0,
-                alpha=alpha,
-                tol=tol,
-                max_iter=max_iter,
-                verbose=verbose,
-                metrics_out=metrics_out,
-            )
+    # Clean the edge set ONCE; both paths (and the vertex universe) reuse it.
     e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct()
-
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
@@ -102,6 +86,17 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
+    if mode == "broadcast" or (
+        mode == "auto" and n <= BROADCAST_VERTEX_LIMIT and checkpointer is None
+    ):
+        return _pagerank_broadcast(
+            e,
+            alpha=alpha,
+            tol=tol,
+            max_iter=max_iter,
+            verbose=verbose,
+            metrics_out=metrics_out,
+        )
     if n == 0:
         return edges.sparkSession.createDataFrame([], "vertex BIGINT, rank DOUBLE")
 
@@ -168,11 +163,8 @@ def pagerank(
                 "r0",
             )
         )
-        if checkpointer is not None and (it + 1) % checkpoint_every == 0:
-            new_ranks = checkpointer.save(new_ranks, it + 1)
-        else:
-            # lazy: materialized (and lineage truncated) by the collect below
-            new_ranks = new_ranks.localCheckpoint(eager=False)
+        # lazy: materialized (and lineage truncated) by the collect below
+        new_ranks = new_ranks.localCheckpoint(eager=False)
         # One job: L1 delta + next round's dangling mass together.
         row = new_ranks.agg(
             F.sum(F.abs(F.col("rank") - F.col("r0"))).alias("delta"),
@@ -181,7 +173,13 @@ def pagerank(
             ).alias("dangling"),
         ).collect()[0]
         delta, dangling = float(row["delta"]), float(row["dangling"])
+        # Durable checkpoint WITHOUT the transient r0 column (it would
+        # inflate the frontier parquet ~33% and drift the resume schema);
+        # the drop is a projection over the already-materialized
+        # localCheckpoint, so the parquet write re-computes nothing.
         new_ranks = new_ranks.drop("r0")
+        if checkpointer is not None and (it + 1) % checkpoint_every == 0:
+            new_ranks = checkpointer.save(new_ranks, it + 1)
         if verbose:
             print(f"[pagerank] iter {it + 1} delta={delta:.3e} {time.time() - t0:.1f}s", flush=True)
         if checkpointer is not None:

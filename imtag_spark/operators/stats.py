@@ -22,12 +22,17 @@ def component_stats(runs_with_labels: DataFrame, label_col: str = "component") -
 
     Input columns: row, col_begin, col_end (exclusive), <label_col>.
     Output: component, n_runs, npixels, bbox (left/top exclusive-right/bottom),
-    centroid_col, centroid_row.
+    centroid_col, centroid_row (doubles), plus bit-stable micro-unit exports
+    centroid_col_u / centroid_row_u = round-half-up(centroid * 1e6) computed
+    in EXACT integer arithmetic (decimal(38,0) intermediates, no float path)
+    — the export format for cross-engine comparison, since the double ratio
+    can differ in its last ulp between engines that round differently.
     """
     n = F.col("col_end") - F.col("col_begin")
-    colsum = ((F.col("col_end") - 1) * F.col("col_end")
-              - (F.col("col_begin") - 1) * F.col("col_begin")) / 2
-    return (
+    # 2 * sum of column indices covered by a run: (e-1)e - (b-1)b
+    colsum2 = ((F.col("col_end") - 1) * F.col("col_end")
+               - (F.col("col_begin") - 1) * F.col("col_begin"))
+    agg = (
         runs_with_labels.groupBy(label_col)
         .agg(
             F.count(F.lit(1)).alias("n_runs"),
@@ -36,9 +41,32 @@ def component_stats(runs_with_labels: DataFrame, label_col: str = "component") -
             F.min("row").alias("bbox_top"),
             F.max("col_end").alias("bbox_right"),
             (F.max("row") + 1).alias("bbox_bottom"),
-            (F.sum(colsum) / F.sum(n)).alias("centroid_col"),
-            (F.sum(n * F.col("row")) / F.sum(n)).alias("centroid_row"),
+            F.sum(colsum2).alias("_colsum2"),
+            F.sum(n * F.col("row")).alias("_rowsum"),
         )
+    )
+    # round-half-up(p/q) over nonneg ints = (2p + q) div (2q); decimal(38,0)
+    # keeps the *1e6 multiply exact at any realistic image size
+    half_up_col = F.expr(
+        "CAST((CAST(_colsum2 AS DECIMAL(38,0)) * 1000000 + npixels)"
+        " DIV (2 * npixels) AS BIGINT)"
+    )
+    half_up_row = F.expr(
+        "CAST((CAST(_rowsum AS DECIMAL(38,0)) * 2000000 + npixels)"
+        " DIV (2 * npixels) AS BIGINT)"
+    )
+    return agg.select(
+        label_col,
+        "n_runs",
+        "npixels",
+        "bbox_left",
+        "bbox_top",
+        "bbox_right",
+        "bbox_bottom",
+        (F.col("_colsum2") / (F.lit(2) * F.col("npixels"))).alias("centroid_col"),
+        (F.col("_rowsum") / F.col("npixels")).alias("centroid_row"),
+        half_up_col.alias("centroid_col_u"),
+        half_up_row.alias("centroid_row_u"),
     )
 
 

@@ -54,21 +54,20 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     ).localCheckpoint(eager=True)
 
-    # wedges u→v, u→w (v < w by id to count each once), closed by v→w or w→v
+    # wedges u→v, u→w (v < w by id to count each once), closed by v→w or w→v.
+    # The closing join streams DIRECTLY into the per-vertex tally (explode of
+    # the 3 corners + map-side-combinable count): the O(m^1.5) triangle list
+    # is never materialized — at scale it dwarfs the edge set, and the count
+    # only needs per-vertex tallies.
     e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = e1.join(e2, "u").where(F.col("x") < F.col("y"))
     closing = oriented.select(
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
-    tris = wedges.join(closing, ["x", "y"], "inner").select(
-        F.col("u").alias("t1"), F.col("x").alias("t2"), F.col("y").alias("t3")
-    ).localCheckpoint(eager=True)
-
     per_vertex = (
-        tris.select(F.col("t1").alias("vertex"))
-        .union(tris.select(F.col("t2").alias("vertex")))
-        .union(tris.select(F.col("t3").alias("vertex")))
+        wedges.join(closing, ["x", "y"], "inner")
+        .select(F.explode(F.array("u", "x", "y")).alias("vertex"))
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

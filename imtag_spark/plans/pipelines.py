@@ -67,6 +67,7 @@ def hole_adjacencies(
     n_rows: int,
     n_cols: int,
     connectivity: str = "cross",
+    land_labels: DataFrame | None = None,
 ) -> DataFrame:
     """M4 (reference entry point 2, src/imtag.cpp:106-112 →
     src/morphology.cpp:264-312): which holes border which components.
@@ -79,8 +80,13 @@ def hole_adjacencies(
     Returns the bipartite edge DataFrame (component BIGINT, hole BIGINT)
     over dense 1-based labels — the scalable analog of the reference's
     dense ``adjacency_matrix`` (include/imtag.hpp:121-146).
+
+    ``land_labels`` — pass precomputed ``label_runs(runs, connectivity)``
+    output to reuse an already-run land CCL (callers that label and then
+    ask for adjacencies shouldn't pay the CC twice).
     """
-    land_labels = label_runs(runs, connectivity)
+    if land_labels is None:
+        land_labels = label_runs(runs, connectivity)
     land = runs.join(
         land_labels.select(F.col("vertex").alias("id"), "dense_label"), "id"
     ).select("row", "col_begin", "col_end", F.col("dense_label").alias("component"))

@@ -34,9 +34,17 @@ def get_spark(
     # with 32 task threads the disk, not the CPUs, becomes the bottleneck
     # and parallel scaling collapses. On a real cluster the equivalent is
     # NVMe/ramdisk local dirs per executor.
+    # Gate the tmpfs default on actual capacity: RAM-backed shuffle dirs on
+    # a memory-constrained host would exhaust memory instead of spilling.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/imtag_spark_local"
+        try:
+            st = os.statvfs("/dev/shm")
+            free_gib = st.f_bavail * st.f_frsize / (1 << 30)
+        except OSError:
+            free_gib = 0.0
+        if free_gib >= 16.0:
+            local_dir = "/dev/shm/imtag_spark_local"
 
     builder = (
         SparkSession.builder.appName(app_name)
