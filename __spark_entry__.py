@@ -18,13 +18,23 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from imtag_spark.operators.cc import connected_components  # noqa: E402
+from imtag_spark.functions.polyhash import (  # noqa: E402
+    M31,
+    band_weights,
+    id_mix_sql,
+    minhash_coeffs,
+    plane_weight_sql,
+    shingle_hash_sql,
+    token_weight_sql,
+    deterministic_planes,
+)
 from imtag_spark.operators.dedup import (  # noqa: E402
     exact_duplicates,
     exact_jaccard,
-    minhash_dedup_clusters,
+    minhash_dedup_clusters_sql,
     shingle_hashes,
     simhash_candidates,
-    simhash_signatures,
+    simhash_signatures_sql,
 )
 from imtag_spark.operators.lpa import label_propagation  # noqa: E402
 from imtag_spark.operators.morphology import complement_runs, dilate  # noqa: E402
@@ -367,17 +377,21 @@ def _q_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_blob_meta(docs).select("doc_id", "blob_bytes", "blob_sha")
 
 
-# --- rows-only queries (no SQL-expressible oracle; weaker driver check) ----
+# --- dedup/ANN queries on the SQL-expressible deterministic profile -------
+# (closed-form polynomial hashes instead of xxhash64/NumPy RNG, so the full
+# MinHash/SimHash/IVF/LSH pipelines are oracle-checked end to end)
 
 
 def _q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return minhash_dedup_clusters(docs, threshold=0.8)
+    return minhash_dedup_clusters_sql(docs, threshold=0.8)
 
 
 def _q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return simhash_candidates(simhash_signatures(docs), max_hamming=3)
+    return simhash_candidates(
+        simhash_signatures_sql(docs), max_hamming=3, n_blocks=4, block_bits=8
+    )
 
 
 def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +405,9 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata embeddings top out around cosine 0.46 pairwise; 6 planes /
     # 0.3 keeps the LSH bucket join selective while returning real pairs
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_pairs_lsh(emb, n_planes=6, threshold=0.3)
+    return cosine_pairs_lsh(
+        emb, threshold=0.3, planes=deterministic_planes(6, 64)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -712,6 +728,214 @@ FROM s
 )
 
 
+# --- dedup/ANN oracles: the deterministic-profile pipelines in pure SQL ----
+# (hash fragments shared verbatim with the Spark operators via polyhash)
+
+
+def _minhash_clusters_oracle(
+    threshold: float = 0.8, k: int = 5, num_hashes: int = 32, bands: int = 8
+) -> str:
+    a, b = minhash_coeffs(num_hashes)
+    rpb = num_hashes // bands
+    w = band_weights(rpb)
+    sig_cols = ",\n    ".join(
+        f"min((sh * {a[j]} + {b[j]}) % {M31}) AS mh{j}" for j in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bi} AS band, ({terms}) % {m} AS bh FROM sig".format(
+            bi=bi,
+            m=M31,
+            terms=" + ".join(
+                f"(mh{bi * rpb + r} * {w[r]}) % {M31}" for r in range(rpb)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {shingle_hash_sql('t', 'i', k)} AS sh
+  FROM d, LATERAL unnest(generate_series(1, greatest(length(t) - {k - 1}, 1))) AS u(i)
+),
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+  GROUP BY c.a, c.b
+),
+verified AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.ni / (sa.n + sb.n - i.ni)::DOUBLE >= {threshold}
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM verified
+  UNION SELECT b AS src, a AS dst FROM verified
+),
+verts AS (SELECT DISTINCT src AS v FROM sym),
+reach AS (
+  SELECT v, v AS lbl FROM verts
+  UNION
+  SELECT s.dst AS v, r.lbl FROM reach r JOIN sym s ON s.src = r.v
+)
+SELECT v AS id, min(lbl) AS cluster FROM reach GROUP BY v
+"""
+
+
+def _simhash_candidates_oracle(
+    max_hamming: int = 3, n_bits: int = 32, n_blocks: int = 4, block_bits: int = 8
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS ti, toks[i] AS tok
+  FROM d, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+),
+chars AS (
+  SELECT doc_id, ti,
+         (CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+          * ({token_weight_sql('i - 1')})) % {M31} AS term
+  FROM tok, LATERAL unnest(generate_series(1, greatest(length(tok), 1))) AS c(i)
+),
+th AS (SELECT doc_id, ti, sum(term) % {M31} AS th FROM chars GROUP BY doc_id, ti),
+bits AS (
+  SELECT doc_id, p,
+         CASE WHEN sum(((th >> p) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+  FROM th, generate_series(0, {n_bits - 1}) AS g(p)
+  GROUP BY doc_id, p
+),
+sigs AS (
+  SELECT doc_id AS id, sum(bit * (CAST(1 AS BIGINT) << p)) AS simhash
+  FROM bits GROUP BY doc_id
+),
+blocks AS (
+  SELECT id, simhash, blk,
+         (simhash >> (blk * {block_bits})) & {(1 << block_bits) - 1} AS bh
+  FROM sigs, generate_series(0, {n_blocks - 1}) AS b(blk)
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b,
+         bit_count(xor(x.simhash, y.simhash)) AS hamming
+  FROM blocks x JOIN blocks y
+    ON x.blk = y.blk AND x.bh = y.bh AND x.id < y.id
+)
+SELECT a, b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+def _knn_ivf_oracle(
+    n_centroids: int = 32, k: int = 5, n_probe: int = 4, n_queries: int = 20
+) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb,
+         row_number() OVER (ORDER BY {id_mix_sql('vec_id')}, vec_id) - 1 AS cidx
+  FROM embeddings
+  ORDER BY {id_mix_sql('vec_id')}, vec_id
+  LIMIT {n_centroids}
+),
+assign AS (
+  SELECT b.vec_id, b.embedding, c.cidx,
+         row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], c.cemb) DESC,
+                    c.cidx ASC) AS rk
+  FROM embeddings b CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, embedding, cidx FROM assign WHERE rk = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+probes AS (
+  SELECT query_id, cidx FROM (
+    SELECT q.query_id, c.cidx,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC,
+                      c.cidx ASC) AS rk
+    FROM q CROSS JOIN cents c
+  ) WHERE rk <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.embedding
+  FROM probes p JOIN assigned a ON a.cidx = p.cidx
+),
+sims AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qemb, c.embedding::DOUBLE[]) AS sim
+  FROM cand c JOIN q ON q.query_id = c.query_id
+  WHERE c.vec_id != c.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim
+FROM ranked WHERE rk <= {k}
+"""
+
+
+def _cosine_pairs_oracle(
+    n_planes: int = 6, dim: int = 64, threshold: float = 0.3
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bits AS (
+  SELECT e.vec_id, p.p,
+         CASE WHEN sum(e.emb[d.d + 1]
+                       * ({plane_weight_sql('p.p', 'd.d')})) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM e, generate_series(0, {n_planes - 1}) AS p(p),
+       generate_series(0, {dim - 1}) AS d(d)
+  GROUP BY e.vec_id, p.p
+),
+buckets AS (
+  SELECT vec_id, sum(bit * (CAST(1 AS BIGINT) << p)) AS bucket
+  FROM bits GROUP BY vec_id
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+sims AS (
+  SELECT a, b, round(list_cosine_similarity(ea.emb, eb.emb), 6) AS sim
+  FROM pairs
+  JOIN e ea ON ea.vec_id = a
+  JOIN e eb ON eb.vec_id = b
+)
+SELECT a, b, sim FROM sims WHERE sim >= {threshold}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     pr_iters = ",\n".join(_pagerank_iter_sql(i) for i in range(1, 6))
     return {
@@ -744,6 +968,10 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "language_id_documents": _LANGUAGE_ID_SQL,
+        "minhash_clusters_documents": _minhash_clusters_oracle(),
+        "simhash_candidates_documents": _simhash_candidates_oracle(),
+        "knn_ivf_embeddings": _knn_ivf_oracle(),
+        "cosine_pairs_embeddings": _cosine_pairs_oracle(),
         "fingerprint_documents": """
             SELECT doc_id, sha256(text) AS text_sha FROM documents
         """,

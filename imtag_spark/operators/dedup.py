@@ -27,6 +27,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from imtag_spark.operators.cc import connected_components
+from imtag_spark.functions.polyhash import (
+    M31,
+    band_weights,
+    minhash_coeffs,
+    shingle_hash_sql,
+    token_weight_sql,
+)
 
 # deterministic 64-bit mix constants for the k minhash permutations
 _MERSENNE = (1 << 61) - 1
@@ -178,6 +185,157 @@ def minhash_dedup_clusters(
     return clusters
 
 
+# ---------------------------------------------------------------------------
+# SQL-expressible profile: identical pipelines keyed off the closed-form
+# polynomial hashes of functions/polyhash.py instead of xxhash64/NumPy RNG.
+# Same banding/verify/clustering code paths and the same scale shape (the
+# hash is a JVM expression inside whole-stage codegen — arguably *better*
+# than the UDF signature path for the minhash sizes used here), but every
+# intermediate is reproducible by an external ANSI-SQL oracle, which is what
+# turns the whole near-dup pipeline into a hard-checkable query.
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes_sql(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Char k-shingles → distinct polynomial hashes: (id, sh BIGINT in [0, M31)).
+
+    Whitespace-collapsed lowercase text, same normalization as
+    :func:`shingle_hashes`; the hash fragment itself is shared verbatim
+    with the oracle SQL (polyhash.shingle_hash_sql)."""
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return (
+        docs.select(F.col(id_col).alias("id"), t.alias("_t"), n.alias("_n"))
+        .select("id", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("pos"), "_t")
+        .select("id", F.expr(shingle_hash_sql("_t", "pos", k)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures_sql(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes]) via closed-form permutations
+    h -> (a_j*h + b_j) % M31 — num_hashes min-aggregates in ONE map-side-
+    combinable groupBy, fully JVM-side (no signature UDF needed at this
+    permutation count)."""
+    a, b = minhash_coeffs(num_hashes)
+    sh = shingle_hashes_sql(docs, text_col, id_col, shingle_k)
+    mins = [
+        F.min((F.col("sh") * F.lit(a[j]) + F.lit(b[j])) % F.lit(M31)).alias(f"_mh{j}")
+        for j in range(num_hashes)
+    ]
+    wide = sh.groupBy("id").agg(*mins)
+    return wide.select(
+        "id", F.array(*[F.col(f"_mh{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def _band_bucket_sql(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bh) with the order-independent weighted-sum bucket hash."""
+    w = band_weights(rows_per_band)
+    entries = []
+    for bi in range(bands):
+        acc = None
+        for r in range(rows_per_band):
+            term = (F.col("sig")[bi * rows_per_band + r] * F.lit(w[r])) % F.lit(M31)
+            acc = term if acc is None else acc + term
+        entries.append(
+            F.struct(F.lit(bi).alias("band"), (acc % F.lit(M31)).alias("bh"))
+        )
+    return sigs.select("id", F.explode(F.array(*entries)).alias("bb")).select(
+        "id", "bb.band", "bb.bh"
+    )
+
+
+def minhash_dedup_clusters_sql(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Oracle-checkable near-dup pipeline → (id, cluster); same shape as
+    :func:`minhash_dedup_clusters` (band-bucket equi-join candidates, exact
+    Jaccard verify, CC clusters = min doc id)."""
+    rows_per_band = num_hashes // bands
+    sh = shingle_hashes_sql(docs, text_col, id_col, shingle_k).persist()
+    sigs = minhash_signatures_sql(docs, text_col, id_col, shingle_k, num_hashes)
+    banded = _band_bucket_sql(sigs, bands, rows_per_band)
+    cands = (
+        banded.select("band", "bh", F.col("id").alias("a"))
+        .join(banded.select("band", "bh", F.col("id").alias("b")), ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = exact_jaccard(sh, cands).where(F.col("jaccard") >= threshold)
+    edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    clusters = connected_components(edges).select(
+        F.col("vertex").alias("id"), F.col("component").alias("cluster")
+    )
+    sh.unpersist()
+    return clusters
+
+
+def simhash_signatures_sql(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Oracle-checkable simhash: (id, simhash BIGINT over n_bits bits).
+
+    Token hash = order-weighted char sum mod M31 (31 useful bits, so
+    n_bits ≤ 31... 32 keeps the top bit constantly 0, harmless); votes and
+    bit packing are plain aggregates — the whole signature is JVM-side SQL,
+    mirrored literally by the DuckDB oracle."""
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(F.split(t, " ")).alias("ti", "tok")
+    )
+    # per-char terms; greatest(len,1) keeps empty tokens as a single
+    # codepoint-0 term so both engines agree on empty-text docs
+    chars = toks.select(
+        "id",
+        "ti",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("tok"), F.lit(1)))
+        ).alias("i"),
+        "tok",
+    )
+    term = (
+        F.expr("CAST(ascii(substring(tok, i, 1)) AS BIGINT)")
+        * F.expr(token_weight_sql("i - 1"))
+    ) % F.lit(M31)
+    th = chars.select("id", "ti", term.alias("term")).groupBy("id", "ti").agg(
+        (F.sum("term") % F.lit(M31)).alias("th")
+    )
+    bits = th.select(
+        "id", "th", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("p")
+    ).select(
+        "id",
+        "p",
+        # expr: the DSL shiftright only takes a literal shift amount
+        (F.expr("shiftright(th, p) & 1") * 2 - 1).alias("v"),
+    )
+    votes = bits.groupBy("id", "p").agg(F.sum("v").alias("vote"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -207,11 +365,18 @@ def simhash_signatures(
     return grouped.select("id", simhash("hashes").alias("simhash"))
 
 
-def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by banding the 64-bit simhash into 4×16-bit
-    blocks (any pair within Hamming ≤ 3 shares at least one block), then
-    verifying Hamming distance with bit_count.
-    """
+def simhash_candidates(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates by banding the simhash into ``n_blocks`` blocks
+    of ``block_bits`` bits (pigeonhole: any pair within Hamming ≤ n_blocks-1
+    shares at least one block), then verifying Hamming distance with
+    bit_count. Defaults fit the 64-bit signatures; the 32-bit SQL-profile
+    signatures use 4×8."""
+    mask = (1 << block_bits) - 1
     blocks = sigs.select(
         "id",
         "simhash",
@@ -219,9 +384,11 @@ def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(i).alias("blk"),
-                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    F.shiftrightunsigned("simhash", i * block_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bh"),
                 )
-                for i in range(4)
+                for i in range(n_blocks)
             ])
         ).alias("bb"),
     ).select("id", "simhash", "bb.blk", "bb.bh")

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from imtag_spark.functions.polyhash import deterministic_planes, id_mix_sql
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -92,15 +94,17 @@ def ivf_index(
     """One-pass IVF: deterministic sampled centroids + assignment.
 
     Returns (centroid matrix, base annotated with ``centroid`` id). The
-    centroid sample takes the n_centroids lowest xxhash64(id) rows — a
+    centroid sample takes the n_centroids lowest Knuth-mix(id) rows — a
     deterministic uniform sample that needs no kmeans iterations (coarse
     quantization is all LSH-grade recall needs here; kmeans refinement can
-    be layered on without changing the query path).
+    be layered on without changing the query path). The closed-form mix
+    (polyhash.id_mix_sql) lets an external SQL oracle reproduce the exact
+    centroid pick; ties broken by id so the order is total.
     """
     spark = base.sparkSession
     picked = (
-        base.select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("h"))
-        .orderBy("h")
+        base.select(id_col, vec_col, F.expr(id_mix_sql(id_col)).alias("h"))
+        .orderBy("h", id_col)
         .limit(n_centroids)
         .collect()
     )
@@ -141,7 +145,9 @@ def knn_ivf(
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     q_mat = _normalize(np.array([r[vec_col] for r in qrows], dtype=np.float64))
-    probes = (q_mat @ centroids.T).argsort(axis=1)[:, ::-1][:, :n_probe]
+    # stable sort on -sim: ties break toward the lower centroid index,
+    # matching the oracle's (sim DESC, centroid ASC) ranking
+    probes = np.argsort(-(q_mat @ centroids.T), axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
         (int(q), int(c)) for qi, q in enumerate(q_ids) for c in probes[qi]
     ]
@@ -162,7 +168,9 @@ def knn_ivf(
         sims = mat @ qvec
         sims[ids == qid] = -np.inf
         kk = min(k, len(ids))
-        idx = np.argsort(-sims)[:kk]
+        # lexsort: deterministic (sim DESC, id ASC) — plain argsort is an
+        # unstable quicksort and would break tie order vs the SQL oracle
+        idx = np.lexsort((ids, -sims))[:kk]
         idx = idx[np.isfinite(sims[idx])]
         return pd.DataFrame(
             {"query_id": qid, "neighbor_id": ids[idx], "sim": np.round(sims[idx], 6)}
@@ -181,14 +189,22 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """All-pairs near-neighbors: random-hyperplane LSH bucket join + exact
-    cosine verify → (a, b, sim) with sim ≥ threshold, a < b."""
+    cosine verify → (a, b, sim) with sim ≥ threshold, a < b.
+
+    ``planes`` — pass an explicit (n_planes, dim) matrix to override the
+    Gaussian sample; ``polyhash.deterministic_planes`` gives a closed-form
+    integer family an external SQL oracle can reproduce."""
     spark = base.sparkSession
     if dim is None:
         dim = len(base.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
+    else:
+        n_planes = planes.shape[0]
     b_p = spark.sparkContext.broadcast(planes)
 
     def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

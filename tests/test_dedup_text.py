@@ -6,15 +6,19 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from imtag_spark.functions.polyhash import M31
 from imtag_spark.operators.dedup import (
     exact_duplicates,
     exact_jaccard,
     lsh_candidate_pairs,
     minhash_dedup_clusters,
+    minhash_dedup_clusters_sql,
     minhash_signatures,
     shingle_hashes,
+    shingle_hashes_sql,
     simhash_candidates,
     simhash_signatures,
+    simhash_signatures_sql,
 )
 from imtag_spark.operators.similarity import (
     cosine_pairs_lsh,
@@ -84,6 +88,41 @@ def test_minhash_clusters_find_near_dups(spark, docs):
                 minhash_dedup_clusters(docs, threshold=0.8).collect()}
     assert clusters.get(0) == clusters.get(1) == clusters.get(5) == 0
     assert 4 not in clusters  # no near-dup partner
+
+
+def test_minhash_clusters_sql_profile_find_near_dups(spark, docs):
+    # the SQL-expressible (polynomial-hash) profile must find the same
+    # planted duplicate group as the xxhash64 profile
+    clusters = {r["id"]: r["cluster"] for r in
+                minhash_dedup_clusters_sql(docs, threshold=0.8).collect()}
+    assert clusters.get(0) == clusters.get(1) == clusters.get(5) == 0
+    assert 4 not in clusters
+
+
+def test_shingle_hashes_sql_matches_python_fold(spark, docs):
+    # the shared SQL fragment must equal a literal Python reimplementation
+    import re
+
+    got = {}
+    for r in shingle_hashes_sql(docs.where(F.col("doc_id") == 0), k=5).collect():
+        got.setdefault(r["id"], set()).add(r["sh"])
+    t = re.sub(r"\s+", " ", DOCS[0][1].lower())
+    want = set()
+    for i in range(max(len(t) - 4, 1)):
+        h = 0
+        for ch in t[i:i + 5]:
+            h = (h * 131 + ord(ch)) % M31
+        want.add(h)
+    assert got[0] == want
+
+
+def test_simhash_sql_profile_near_dups_are_close(spark, docs):
+    sigs = simhash_signatures_sql(docs)
+    cands = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_candidates(
+                 sigs, max_hamming=10, n_blocks=4, block_bits=8).collect()}
+    assert cands.get((0, 5)) == 0  # exact dup
+    assert (0, 1) in cands or (1, 5) in cands
 
 
 def test_simhash_near_dups_are_close(spark, docs):
