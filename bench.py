@@ -73,6 +73,21 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     timed("triangles_parts", lambda: triangle_count(part_edges).count())
 
+    # 10x-scale triangle point (deterministic synthetic graph, built
+    # JVM-side): exercises the streaming wedge-close aggregation — the
+    # triangle list itself is never materialized
+    tri_edges = (
+        spark.range(3_000_000)
+        .select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(300_000)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id") + 3_000_000), F.lit(300_000)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    extra["edges_tri_synth"] = tri_edges.count()
+    timed("triangles_synth_3m", lambda: triangle_count(tri_edges).count())
+
     timed("lpa5_parts", lambda: label_propagation(part_edges, max_iter=5).count())
 
     # --- dataset-pipeline workloads ---------------------------------------

@@ -75,7 +75,7 @@ def main() -> None:
     if os.path.exists(store_path):
         with open(store_path) as f:
             store = json.load(f)
-    store[f"{n_lo}to{n_hi}"] = result
+    store[f"{n_lo}to{n_hi}" + ("_skew" if skew else "")] = result
     with open(store_path, "w") as f:
         json.dump(store, f, indent=1, sort_keys=True)
 

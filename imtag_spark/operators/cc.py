@@ -43,6 +43,16 @@ EDGE_SCHEMA = "src BIGINT, dst BIGINT"
 # Partition-local union-find pre-contraction (the imtag disjoint_set analog)
 # ---------------------------------------------------------------------------
 
+#: per-chunk edge cap for the partition-local union-find. A skewed producer
+#: can hand one task a multi-hundred-million-row partition (e.g. a hub star
+#: colocated by the upstream join); chunking bounds the union-find working
+#: set (≈ 5 int64 arrays × cap) and the O(E log E) np.unique sort to a
+#: constant, and streams results out as Arrow batches arrive instead of
+#: buffering the whole partition. Cross-chunk merges are absorbed by the
+#: global star rounds (the output stays a valid spanning relabeling).
+LOCAL_CONTRACT_CHUNK = 8_000_000
+
+
 def _local_contract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Union-find over the edges of one partition; emit (vertex, local_root).
 
@@ -51,11 +61,25 @@ def _local_contract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     them to the global algorithm preserves connectivity while cutting the
     edge count to ≤ #distinct local vertices. This mirrors the reference's
     single-address-space union-find, scoped to what actually shares an
-    address space in Spark: one partition.
+    address space in Spark: one partition — processed in bounded chunks
+    (LOCAL_CONTRACT_CHUNK) so a skew-fattened partition cannot blow up one
+    task's memory or stall it on a single giant sort.
     """
-    frames = [pdf for pdf in batches if len(pdf)]
-    if not frames:
-        return
+    frames: list[pd.DataFrame] = []
+    buffered = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        frames.append(pdf)
+        buffered += len(pdf)
+        if buffered >= LOCAL_CONTRACT_CHUNK:
+            yield _contract_frames(frames)
+            frames, buffered = [], 0
+    if frames:
+        yield _contract_frames(frames)
+
+
+def _contract_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
     src = np.concatenate([f["src"].to_numpy(dtype=np.int64) for f in frames])
     dst = np.concatenate([f["dst"].to_numpy(dtype=np.int64) for f in frames])
     verts, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
@@ -88,7 +112,7 @@ def _local_contract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         if np.array_equal(nxt, p):
             break
         p = nxt
-    yield pd.DataFrame({"src": verts, "dst": verts[p]})
+    return pd.DataFrame({"src": verts, "dst": verts[p]})
 
 
 def local_contract(edges: DataFrame) -> DataFrame:
@@ -114,8 +138,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = _symmetrize(edges)
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
+    # shuffle_hash hint: the E-row sym side must not be SORTED just to join
+    # the V-row aggregate (SMJ would sort both sides); a shuffled hash join
+    # builds on the per-partition slice of mins (V/parts rows — bounded at
+    # any scale) and streams sym through it
     return (
-        sym.join(mins, "src")
+        sym.join(mins.hint("shuffle_hash"), "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
@@ -127,7 +155,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    joined = oriented.join(mins, "src")
+    joined = oriented.join(mins.hint("shuffle_hash"), "src")
     lower = joined.where(F.col("dst") != F.col("m")).select(
         F.col("dst").alias("src"), F.col("m").alias("dst")
     )
@@ -182,7 +210,7 @@ def _chained_count(edges: DataFrame) -> tuple[int, int]:
         .withColumn("_m", F.lit(1))
     )
     row = (
-        edges.join(srcs, "dst", "left")
+        edges.join(srcs.hint("shuffle_hash"), "dst", "left")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("src").alias("n_src"),
@@ -198,7 +226,7 @@ def _chained_count(edges: DataFrame) -> tuple[int, int]:
 def connected_components(
     edges: DataFrame,
     *,
-    pre_contract: bool = True,
+    pre_contract: bool | None = None,
     range_partition: bool = False,
     max_iter: int = 50,
     checkpoint_every: int = 3,
@@ -221,6 +249,15 @@ def connected_components(
     13 → 8 global rounds, 80 s → 35 s. Leave off for hash-id graphs
     (no locality to exploit; the extra shuffle is pure cost).
 
+    ``pre_contract`` — run the partition-local union-find over the INPUT
+    partitioning before the star rounds. Defaults to ``range_partition``:
+    on locality-partitioned inputs it collapses whole regions for ~free,
+    but on hash-id graphs the input pass costs a full Arrow transit of the
+    edge set (measured: 25–65 s at 32 M edges) while shrinking round 1's
+    edge count only ~35 % — and on a skew-colocated producer it hands one
+    task the whole hub star (the round-1 stall in BENCH.md's skew section).
+    Pass ``True``/``False`` to override the heuristic either way.
+
     ``checkpointer`` — optional ``plans.checkpoint.SuperstepCheckpointer``
     for durable per-superstep state + resume; defaults to in-memory
     ``localCheckpoint`` lineage truncation.
@@ -238,6 +275,8 @@ def connected_components(
     # carries (e.g. grid edges arrive row-partitioned, so the narrow
     # pre-contraction collapses whole spatial regions before any shuffle).
     work = edges.where(F.col("src") != F.col("dst"))
+    if pre_contract is None:
+        pre_contract = range_partition
     if range_partition:
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         work = work.repartitionByRange(n_part, "src")

@@ -15,10 +15,9 @@ generation follows FIXTURES.md §1 exactly:
   hashlib sha256 and the engine's ``F.sha2(content, 256)`` must agree
   row-for-row (the per-row invariant).
 
-Scale path: metadata columns are drawn driver-side (cheap int arrays) but
-the heavy ``content`` strings are synthesized DISTRIBUTED, inside Spark SQL
-expressions — generating a 10^12-row corpus never funnels strings through
-the driver.
+Scale path: metadata AND content are synthesized DISTRIBUTED — every column
+derives from ``spark.range`` + ``xxhash64`` arithmetic, so generating a
+10^12-row corpus never funnels anything through the driver.
 
 Graph derivation (FIXTURES.md §1, deterministic):
 - vertex id = ``xxhash64(repo, path, commit, lang, content)`` per row,
@@ -29,8 +28,6 @@ Graph derivation (FIXTURES.md §1, deterministic):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -48,31 +45,67 @@ def generate_corpus(
     body_repeats: int = 4,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Deterministic corpus DataFrame; content synthesized Spark-side."""
-    rng = np.random.default_rng(seed)
-    # Zipf(a=1.5) repo popularity, clipped into [1, n_repos]
-    repo_idx = np.minimum(rng.zipf(1.5, size=n_rows), n_repos) - 1
-    # files per repo: up to 200 distinct paths; commits sequential per repo,
-    # scaled with repo popularity (heavier repos → more commits)
-    path_idx = rng.integers(0, 200, size=n_rows)
-    lang_idx = path_idx % len(LANGS)  # lang fixed per path
-    depth = path_idx % 4
-    # commit index: heavy repos accumulate more commits
-    commit_idx = rng.integers(0, 1 + np.maximum(1, 50 // (1 + repo_idx)), size=n_rows)
+    """Deterministic corpus DataFrame, synthesized ENTIRELY Spark-side.
 
-    meta = pd.DataFrame(
-        {
-            "repo": [f"repo{i:04d}" for i in repo_idx],
-            "path": [
-                f"src/{d}/f{j:05d}.{LANGS[li]}"
-                for d, j, li in zip(depth, path_idx, lang_idx)
-            ],
-            "commit": [f"c{k:06d}" for k in commit_idx],
-            "lang": [LANGS[li] for li in lang_idx],
-        }
-    ).drop_duplicates(subset=["repo", "path", "commit"])
+    Metadata and content both derive from ``spark.range`` + ``xxhash64``
+    column arithmetic — no driver-side arrays anywhere, so the generator
+    runs at any row count the cluster can hold (the 10^12-file north-rule
+    scale included); the driver never sees a row.
+
+    Repo popularity is Zipf(a≈1.5) via inverse-CDF of the tail
+    P(X ≥ x) = x^(-1/2): X = ceil(u^-2), clipped to [1, n_repos] — the
+    heavy-hitter skew the engine must survive, by construction.
+    """
     n = num_partitions or spark.sparkContext.defaultParallelism
-    df = spark.createDataFrame(meta).repartition(n)
+    ids = spark.range(0, n_rows, numPartitions=n)
+
+    def u01(salt: int):
+        # uniform in (0, 1]: 30-bit slice of a salted row hash
+        return (F.pmod(F.xxhash64(F.col("id"), F.lit(seed * 1000 + salt)),
+                       F.lit(1 << 30)) + 1) / F.lit(float(1 << 30))
+
+    repo_idx = (
+        F.least(F.floor(F.pow(u01(0), F.lit(-2.0))), F.lit(n_repos)) - 1
+    ).cast("int")
+    path_idx = F.pmod(F.xxhash64(F.col("id"), F.lit(seed * 1000 + 1)), F.lit(200))
+    lang_idx = F.pmod(path_idx, F.lit(len(LANGS)))
+    depth = F.pmod(path_idx, F.lit(4))
+    # commit index: heavy repos accumulate more commits
+    n_commits = F.lit(1) + F.greatest(
+        F.lit(1), F.expr("50 DIV (1 + _repo_idx)")
+    )
+    meta = (
+        ids.select(
+            F.col("id"),
+            repo_idx.alias("_repo_idx"),
+            path_idx.alias("_path_idx"),
+            lang_idx.alias("_lang_idx"),
+            depth.alias("_depth"),
+        )
+        .select(
+            F.format_string("repo%04d", F.col("_repo_idx")).alias("repo"),
+            F.format_string(
+                "src/%d/f%05d.%s",
+                F.col("_depth"),
+                F.col("_path_idx"),
+                F.element_at(
+                    F.array(*[F.lit(x) for x in LANGS]),
+                    F.col("_lang_idx").cast("int") + 1,
+                ),
+            ).alias("path"),
+            F.format_string(
+                "c%06d",
+                F.pmod(
+                    F.xxhash64(F.col("id"), F.lit(seed * 1000 + 2)), n_commits
+                ),
+            ).alias("commit"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in LANGS]),
+                F.col("_lang_idx").cast("int") + 1,
+            ).alias("lang"),
+        )
+        .dropDuplicates(["repo", "path", "commit"])
+    )
     # content = meta line + deterministic body keyed by (repo,path,commit):
     # body = sha2 hex of the key, repeated — computable identically by
     # hashlib in the fixture oracle (tests/test_corpus.py).
@@ -82,7 +115,7 @@ def generate_corpus(
         F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path")),
         F.lit("@"), F.col("commit"), F.lit("\n"), body,
     )
-    return df.select("repo", "path", "commit", "lang", content.alias("content"))
+    return meta.select("repo", "path", "commit", "lang", content.alias("content"))
 
 
 def content_sha_invariant(corpus: DataFrame) -> DataFrame:
