@@ -7,6 +7,7 @@ Usage: python tools/sim_driver.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -21,15 +22,26 @@ from imtag_spark.session import get_spark  # noqa: E402
 from imtag_spark.sources.tables import TABLES  # noqa: E402
 
 
+STRICT = os.environ.get("SIM_DRIVER_STRICT", "1") != "0"
+
+
 def norm(rows, cols):
+    # STRICT compares float bits via repr (mirrors the driver's value
+    # hash); SIM_DRIVER_STRICT=0 falls back to 6dp rounding for triage.
     out = []
     for r in rows:
         vals = []
         for c in cols:
             v = r[c]
+            if isinstance(v, decimal.Decimal):
+                # DuckDB emits DECIMAL for round(); Spark emits double.
+                # The driver coerces numerics before hashing — mirror that.
+                v = float(v)
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
+                elif STRICT:
+                    v = repr(v)
                 else:
                     v = round(v, 6)
             vals.append(v)
