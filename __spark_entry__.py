@@ -144,7 +144,7 @@ def _grid_labels(spark: SparkSession, connectivity: str) -> DataFrame:
     key = (id(spark), connectivity)
     if key not in _GRID_CACHE:
         _GRID_CACHE[key] = label_runs(
-            _grid_runs(spark), connectivity
+            _grid_runs(spark), connectivity, cells_hint=GRID_R * GRID_C
         ).localCheckpoint(eager=True)
     return _GRID_CACHE[key]
 

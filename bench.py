@@ -116,7 +116,7 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     def grid_ccl():
         m: dict = {}
-        dense = label_runs(runs, "cross", metrics_out=m)
+        dense = label_runs(runs, "cross", metrics_out=m, cells_hint=1024 * 1024)
         n_comp = dense.select("dense_label").distinct().count()
         extra["grid_components"] = n_comp
         extra["grid_cc_supersteps"] = m.get("supersteps", 0)

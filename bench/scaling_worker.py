@@ -61,8 +61,20 @@ def main() -> None:
 
     pr_m: dict = {}
     pagerank(edges, directed=True, tol=0.0, max_iter=10, metrics_out=pr_m).count()
-    cc_m: dict = {}
-    connected_components(edges, metrics_out=cc_m).count()
+    # CC converges in ~2 rounds, so unlike PageRank's 10 identical
+    # supersteps there is no in-run minimum to absorb hypervisor steal
+    # spikes. Run the whole (deterministic) job CC_REPS times in this JVM
+    # and take the per-round-index minimum: identical work each
+    # repetition, so the min is the least contention-contaminated
+    # observation. Raw per-repetition times are reported alongside.
+    CC_REPS = 3
+    cc_reps: list[list[float]] = []
+    for _ in range(CC_REPS):
+        cc_m: dict = {}
+        connected_components(edges, metrics_out=cc_m).count()
+        cc_reps.append(cc_m["superstep_times"])
+    n_rounds = min(len(r) for r in cc_reps)
+    cc_min_times = [min(r[i] for r in cc_reps) for i in range(n_rounds)]
 
     def eps(times):
         return round(m / (sum(times) / len(times)), 1) if times else None
@@ -82,11 +94,14 @@ def main() -> None:
                 "n_edges": m,
                 "skew": skew,
                 "pagerank_superstep_times": [round(t, 3) for t in pr_times],
-                "cc_superstep_times": [round(t, 3) for t in cc_m["superstep_times"]],
+                "cc_superstep_times": [round(t, 3) for t in cc_min_times],
+                "cc_superstep_times_reps": [
+                    [round(t, 3) for t in r] for r in cc_reps
+                ],
                 "eps_pagerank": eps(pr_times),
                 "eps_pagerank_steady": eps(pr_steady),
                 "eps_pagerank_min": round(m / min(pr_times), 1),
-                "eps_cc": eps(cc_m["superstep_times"]),
+                "eps_cc": eps(cc_min_times),
             }
         )
     )

@@ -52,9 +52,14 @@ EDGE_SCHEMA = "src BIGINT, dst BIGINT"
 #: global star rounds (the output stays a valid spanning relabeling).
 LOCAL_CONTRACT_CHUNK = 8_000_000
 
+#: edge-count bound under which the ``single_partition`` fast path is a
+#: safe default for callers holding a static size bound (half a chunk, so
+#: the whole graph is one union-find pass and converges in one round)
+SMALL_GRAPH_EDGE_LIMIT = LOCAL_CONTRACT_CHUNK // 2
 
-def _local_contract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Union-find over the edges of one partition; emit (vertex, local_root).
+
+def _local_contract_fn(chunk: int):
+    """Build the per-partition union-find closure; emits (vertex, local_root).
 
     Pure NumPy, array-based, path-halving on vectorized lookups. The output
     pairs are a spanning relabeling of this partition's edge set: feeding
@@ -62,21 +67,26 @@ def _local_contract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     edge count to ≤ #distinct local vertices. This mirrors the reference's
     single-address-space union-find, scoped to what actually shares an
     address space in Spark: one partition — processed in bounded chunks
-    (LOCAL_CONTRACT_CHUNK) so a skew-fattened partition cannot blow up one
-    task's memory or stall it on a single giant sort.
+    (``chunk`` edges) so a skew-fattened partition cannot blow up one
+    task's memory or stall it on a single giant sort. A closure (not a
+    module global) so the chunk bound serializes by value to executors.
     """
-    frames: list[pd.DataFrame] = []
-    buffered = 0
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        frames.append(pdf)
-        buffered += len(pdf)
-        if buffered >= LOCAL_CONTRACT_CHUNK:
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames: list[pd.DataFrame] = []
+        buffered = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames.append(pdf)
+            buffered += len(pdf)
+            if buffered >= chunk:
+                yield _contract_frames(frames)
+                frames, buffered = [], 0
+        if frames:
             yield _contract_frames(frames)
-            frames, buffered = [], 0
-    if frames:
-        yield _contract_frames(frames)
+
+    return _batches
 
 
 def _contract_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
@@ -115,9 +125,9 @@ def _contract_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
     return pd.DataFrame({"src": verts, "dst": verts[p]})
 
 
-def local_contract(edges: DataFrame) -> DataFrame:
+def local_contract(edges: DataFrame, chunk: int = LOCAL_CONTRACT_CHUNK) -> DataFrame:
     """Shuffle-free per-partition contraction: edges → (vertex, local_root) pairs."""
-    return edges.mapInPandas(_local_contract_batches, schema=EDGE_SCHEMA)
+    return edges.mapInPandas(_local_contract_fn(chunk), schema=EDGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -228,11 +238,13 @@ def connected_components(
     *,
     pre_contract: bool | None = None,
     range_partition: bool = False,
+    single_partition: bool = False,
     max_iter: int = 50,
     checkpoint_every: int = 3,
     checkpointer=None,
     verbose: bool = False,
     metrics_out: dict | None = None,
+    _contract_chunk: int = LOCAL_CONTRACT_CHUNK,
 ) -> DataFrame:
     """Edge table ``(src BIGINT, dst BIGINT)`` → labels ``(vertex, component)``.
 
@@ -261,6 +273,18 @@ def connected_components(
     ``checkpointer`` — optional ``plans.checkpoint.SuperstepCheckpointer``
     for durable per-superstep state + resume; defaults to in-memory
     ``localCheckpoint`` lineage truncation.
+
+    ``single_partition`` — small-graph fast path (the broadcast-join
+    analog of an execution-strategy hint): coalesce the edges into ONE
+    task and let the chunked NumPy union-find solve the whole graph in a
+    single pass, certified by the same star-forest check. Cuts the
+    fixed per-round scheduling cost that dominates sub-10^7-edge inputs
+    (the regime where the reference's single-address-space pass wins on
+    overhead, BASELINE.md). Callers opt in only with a size bound in
+    hand (e.g. grid pipelines: edges <= n_cells, known without a job).
+    Still EXACT if the input is larger than one union-find chunk — the
+    certificate loop keeps iterating until the forest is terminal — but
+    then the single task is the bottleneck; never use it unbounded.
     """
     spark = edges.sparkSession
     universe = (
@@ -275,6 +299,13 @@ def connected_components(
     # carries (e.g. grid edges arrive row-partitioned, so the narrow
     # pre-contraction collapses whole spatial regions before any shuffle).
     work = edges.where(F.col("src") != F.col("dst"))
+    if single_partition:
+        # one task sees every edge; the loop's local_contract round IS the
+        # whole solve, so the input-pass pre-contraction and the range
+        # shuffle would be pure overhead
+        work = work.coalesce(1)
+        pre_contract = False
+        range_partition = False
     if pre_contract is None:
         pre_contract = range_partition
     if range_partition:
@@ -306,7 +337,15 @@ def connected_components(
         print(f"[cc] init {_time.time() - _t:.1f}s", flush=True)
     for it in range(start_iter, max_iter):
         _t = _time.time()
-        stepped = _star_contract_round(work)
+        if single_partition:
+            # complete solve in one narrow pass (star rounds would only
+            # add shuffles); terminal star forest after round 1 whenever
+            # the edges fit one union-find chunk
+            stepped = local_contract(work, chunk=_contract_chunk).where(
+                F.col("src") != F.col("dst")
+            )
+        else:
+            stepped = _star_contract_round(work)
         if checkpointer is not None and (it + 1) % checkpoint_every == 0:
             stepped = checkpointer.save(stepped, it + 1)
         else:

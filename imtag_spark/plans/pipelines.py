@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from imtag_spark.operators.cc import connected_components
+from imtag_spark.operators.cc import SMALL_GRAPH_EDGE_LIMIT, connected_components
 from imtag_spark.operators.interval_join import interval_join, adjacent_row_edges
 from imtag_spark.operators.morphology import complement_runs
 from imtag_spark.operators.relabel import densely_relabel
@@ -17,18 +17,30 @@ def label_runs(
     connectivity: str = "cross",
     base: int = 1,
     metrics_out: dict | None = None,
+    cells_hint: int | None = None,
 ) -> DataFrame:
     """``bwlabel`` analog (reference entry point 1, src/imtag.cpp:13-22):
     run table → edges → CC → labels for ALL runs (isolated runs are their
     own components) → dense relabel per the §2.4 contract.
 
+    ``cells_hint`` — static upper bound on the grid's cell count
+    (n_rows * n_cols), when the caller knows it. Adjacencies are bounded
+    by cells, so a small hint routes CC through its single-partition
+    fast path (one union-find pass instead of per-round scheduling —
+    the regime where the reference's single-address-space pass wins on
+    overhead). Large/unknown grids take the distributed path unchanged.
+
     Returns (vertex, component, dense_label) with dense labels ``base..``.
     """
     edges = adjacent_row_edges(runs, connectivity)
+    small = cells_hint is not None and cells_hint <= SMALL_GRAPH_EDGE_LIMIT
     # scan-order run ids carry spatial locality — range partitioning lets
     # the partition-local union-find collapse whole image regions round 1
     labels = connected_components(
-        edges, range_partition=True, metrics_out=metrics_out
+        edges,
+        range_partition=not small,
+        single_partition=small,
+        metrics_out=metrics_out,
     )
     all_vert = runs.select(F.col("id").alias("vertex"))
     full = all_vert.join(labels, "vertex", "left").select(
@@ -41,10 +53,13 @@ def label_cells(
     cells: DataFrame,
     connectivity: str = "cross",
     metrics_out: dict | None = None,
+    cells_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """cells → (runs, dense labels) — full two-pass CCL."""
     runs = grid_to_runs(cells).localCheckpoint(eager=True)
-    return runs, label_runs(runs, connectivity, metrics_out=metrics_out)
+    return runs, label_runs(
+        runs, connectivity, metrics_out=metrics_out, cells_hint=cells_hint
+    )
 
 
 def invert(
@@ -59,7 +74,7 @@ def invert(
     water = with_scan_order_ids(
         complement_runs(runs, n_rows, n_cols)
     ).localCheckpoint(eager=True)
-    return water, label_runs(water, "cross")
+    return water, label_runs(water, "cross", cells_hint=n_rows * n_cols)
 
 
 def hole_adjacencies(
@@ -86,7 +101,7 @@ def hole_adjacencies(
     ask for adjacencies shouldn't pay the CC twice).
     """
     if land_labels is None:
-        land_labels = label_runs(runs, connectivity)
+        land_labels = label_runs(runs, connectivity, cells_hint=n_rows * n_cols)
     land = runs.join(
         land_labels.select(F.col("vertex").alias("id"), "dense_label"), "id"
     ).select("row", "col_begin", "col_end", F.col("dense_label").alias("component"))

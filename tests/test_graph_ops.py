@@ -42,6 +42,48 @@ def test_cc_isolated_and_selfloops(spark):
     assert rows == {7: 7, 8: 8, 9: 8, 10: 10}
 
 
+def test_cc_single_partition_matches_default(spark):
+    # pseudo-random graph: the fast path must agree label-for-label
+    rng = np.random.default_rng(7)
+    pairs = rng.integers(0, 400, size=(1500, 2)).tolist()
+    e = edges_df(spark, pairs)
+    base = {r.vertex: r.component for r in connected_components(e).collect()}
+    m: dict = {}
+    fast = {
+        r.vertex: r.component
+        for r in connected_components(
+            e, single_partition=True, metrics_out=m
+        ).collect()
+    }
+    assert fast == base
+    # one union-find pass solves a sub-chunk graph: exactly one round
+    assert m["supersteps"] == 1
+
+
+def test_cc_single_partition_selfloops_isolated(spark):
+    e = edges_df(spark, [(7, 7), (8, 9), (9, 8), (10, 10)])
+    rows = {
+        r.vertex: r.component
+        for r in connected_components(e, single_partition=True).collect()
+    }
+    assert rows == {7: 7, 8: 8, 9: 8, 10: 10}
+
+
+def test_cc_single_partition_multichunk_exact(spark):
+    # tiny chunk bound forces multi-chunk processing inside the single
+    # task: cross-chunk merges must still resolve via the certificate loop
+    n = 500
+    path = [(i, i + 1) for i in range(n)]  # one long path spans many chunks
+    labels = connected_components(
+        edges_df(spark, path),
+        single_partition=True,
+        max_iter=20,
+        _contract_chunk=64,
+    )
+    comps = labels.select("component").distinct().collect()
+    assert len(comps) == 1 and comps[0].component == 0
+
+
 def test_triangles_two_triangles_bridge(spark):
     e = edges_df(spark, TWO_TRIANGLES_BRIDGE)
     assert total_triangles(e) == 2
