@@ -25,27 +25,32 @@ from imtag_spark.sources.tables import TABLES  # noqa: E402
 STRICT = os.environ.get("SIM_DRIVER_STRICT", "1") != "0"
 
 
+def _canon(v):
+    """Canonical numeric form, mirroring the driver's type-coercing value
+    hash: integral numerics (int / integral Decimal / integral double)
+    compare as int regardless of which engine's type system produced
+    them; non-integral values compare at FULL float precision (repr), so
+    a last-ulp divergence — the r1 ``ccl_grid_stats`` failure mode — is
+    caught instead of masked. Large ints stay exact (never via float)."""
+    if isinstance(v, bool) or not isinstance(v, (int, float, decimal.Decimal)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value():
+            return int(v)
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v.is_integer() and abs(v) < 2**53:
+            return int(v)
+        return repr(v) if STRICT else round(v, 6)
+    return v
+
+
 def norm(rows, cols):
-    # STRICT compares float bits via repr (mirrors the driver's value
-    # hash); SIM_DRIVER_STRICT=0 falls back to 6dp rounding for triage.
     out = []
     for r in rows:
-        vals = []
-        for c in cols:
-            v = r[c]
-            if isinstance(v, decimal.Decimal):
-                # DuckDB emits DECIMAL for round(); Spark emits double.
-                # The driver coerces numerics before hashing — mirror that.
-                v = float(v)
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                elif STRICT:
-                    v = repr(v)
-                else:
-                    v = round(v, 6)
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(_canon(r[c]) for c in cols))
     out.sort(key=lambda t: tuple(str(x) for x in t))
     return out
 
