@@ -256,6 +256,46 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_QUERY_SEQ = [0]
+
+
+def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 Structured Streaming at the gate: drain the events table
+    through the incremental watermarked-window plan (readStream →
+    availableNow → memory sink) and return the final aggregate — in
+    complete mode this must equal the batch GROUP BY, which is exactly
+    what the SQL oracle computes. Window starts as epoch seconds and
+    value sums as micro-unit integers keep the comparison bit-stable."""
+    from imtag_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    # the file-stream source requires a DIRECTORY; the fixture is a single
+    # parquet file — stage a symlink dir once per sf_dir (metadata only)
+    import hashlib as _hl
+    import os as _os
+
+    src = _os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = f"/tmp/imtag_stream_events_{_hl.sha256(src.encode()).hexdigest()[:12]}"
+    _os.makedirs(stage, exist_ok=True)
+    link = _os.path.join(stage, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(src, link)
+    stream = read_events_stream(spark, stage)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"gate_stream_counts_{_STREAM_QUERY_SEQ[0]}"
+    run_stream_to_memory(agg, name, "complete")
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("total_value") * 1e6).cast("long").alias("total_value_u"),
+    )
+
+
 def _q_ccl_grid_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = _grid_runs_labeled(spark, "cross")
     return _as_long(joined, "id", "row", "col_begin", "col_end", "dense_label")
@@ -443,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "lang_stats": _q_lang_stats,
         "knn_top1_embeddings": _q_knn,
+        "streaming_window_counts": _q_streaming_window_counts,
     }
 
 
@@ -1116,5 +1157,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(sim, 6) AS sim_r
             FROM ranked WHERE rk = 1
+        """,
+        # the streaming plan in complete mode must equal the batch GROUP BY
+        # over the same events — that equivalence IS the oracle. Tumbling
+        # 1h windows floor epoch seconds; micro-unit sums avoid float ulps.
+        "streaming_window_counts": """
+            SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(round(round(sum(value), 6) * 1000000) AS BIGINT)
+                     AS total_value_u
+            FROM events
+            GROUP BY 1, 2
         """,
     }
