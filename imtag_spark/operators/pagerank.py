@@ -35,6 +35,13 @@ from pyspark.sql import functions as F
 #: count (ranks array ≈ 8B × V per executor — 160 MB at the threshold)
 BROADCAST_VERTEX_LIMIT = 20_000_000
 
+#: ...and below this edge count. The broadcast mode's per-superstep cost
+#: is the Arrow transit of the E-row tile set plus a driver-side gather,
+#: so it loses to the join mode once E dominates: measured local[32],
+#: 300K edges broadcast ~1.25x faster; ~8M comparable; 64M edges ~2x
+#: SLOWER (15.6 s vs 5.5-9 s steady superstep). Crossover ≈ 10^7.
+BROADCAST_EDGE_LIMIT = 10_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -61,10 +68,12 @@ def pagerank(
     - ``"broadcast"`` — CSR-tile gather-scatter: ranks live in a broadcast
       NumPy array, each dst-partitioned edge tile computes its partial
       contribution sums vectorized, and only O(V) aggregated rows shuffle
-      per superstep. Wins while V fits a broadcast (≈ tens of millions);
-      no checkpointer support (driver holds the V-sized state).
-    - ``"auto"`` — broadcast when V ≤ BROADCAST_VERTEX_LIMIT and no
-      checkpointer is requested, else join.
+      per superstep. Wins on small-to-mid graphs (E below ~10^7) while V
+      fits a broadcast; above that the per-superstep Arrow transit of the
+      E-row tiles loses to the join path (measured: 2x slower at 64M
+      edges). No checkpointer support (driver holds the V-sized state).
+    - ``"auto"`` — broadcast when V ≤ BROADCAST_VERTEX_LIMIT, E ≤
+      BROADCAST_EDGE_LIMIT, and no checkpointer is requested, else join.
     """
     if mode not in ("join", "broadcast", "auto"):
         raise ValueError(f"unknown mode: {mode}")
@@ -86,8 +95,15 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
+    if mode == "auto":
+        # the extra edge-count job is narrow (scan + count) and only paid
+        # when the caller asked us to choose
+        n_e = e.count()
     if mode == "broadcast" or (
-        mode == "auto" and n <= BROADCAST_VERTEX_LIMIT and checkpointer is None
+        mode == "auto"
+        and n <= BROADCAST_VERTEX_LIMIT
+        and n_e <= BROADCAST_EDGE_LIMIT
+        and checkpointer is None
     ):
         return _pagerank_broadcast(
             e,
