@@ -59,3 +59,34 @@ def test_graph_hot_path_has_no_vertex_window(spark):
     plan = _formatted_plan(_small_star(_large_star(e)))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_single_partition_cc_plan_is_shuffle_free(spark):
+    # the fast path must be: coalesce(1) -> mapInPandas union-find; any
+    # Exchange in the round plan would defeat its purpose (one task, one
+    # pass, no per-round shuffles)
+    from imtag_spark.operators.cc import local_contract
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src BIGINT, dst BIGINT"
+    )
+    plan = _formatted_plan(
+        local_contract(e.where(F.col("src") != F.col("dst")).coalesce(1))
+    )
+    assert "Exchange" not in plan
+    assert "Coalesce" in plan
+
+
+def test_triangle_count_plan_has_no_triangle_materialization(spark):
+    # the per-vertex tally must aggregate directly off the closing join:
+    # no checkpoint/cache of the O(m^1.5) triangle list (VERDICT r1 #5)
+    from imtag_spark.operators.triangles import triangle_count
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src BIGINT, dst BIGINT"
+    )
+    plan = _formatted_plan(triangle_count(e))
+    # explode of the three corners feeds a partial (map-side) aggregate
+    assert "explode(array(" in plan
+    assert "HashAggregate" in plan
+    assert "Checkpoint" not in plan.split("Generate")[0]
