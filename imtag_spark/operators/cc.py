@@ -57,6 +57,13 @@ LOCAL_CONTRACT_CHUNK = 8_000_000
 #: the whole graph is one union-find pass and converges in one round)
 SMALL_GRAPH_EDGE_LIMIT = LOCAL_CONTRACT_CHUNK // 2
 
+#: vertex-count bound under which the per-round V-row min-aggregates are
+#: broadcast instead of shuffle-hash-joined, so the E-row side never
+#: exchanges inside a superstep. Broadcast costs O(V × executors) network
+#: per round — fine while V × 16B fits comfortably in executor memory
+#: (320 MB at the limit), never the default at arbitrary V.
+CC_BROADCAST_VERTEX_LIMIT = 20_000_000
+
 
 def _local_contract_fn(chunk: int):
     """Build the per-partition union-find closure; emits (vertex, local_root).
@@ -138,7 +145,24 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     return edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _mins_side(mins: DataFrame, broadcast: bool) -> DataFrame:
+    """How the V-row min-aggregate meets the E-row side in the star joins.
+
+    - ``shuffle_hash`` hint (default): the E-row side must not be SORTED
+      just to join the V-row aggregate (SMJ would sort both sides); a
+      shuffled hash join builds on the per-partition slice of mins
+      (V/parts rows — bounded at any scale) and streams E through it.
+      This is the any-scale path: aggregate network cost is O(E + V).
+    - ``broadcast``: when V fits a broadcast (≤ CC_BROADCAST_VERTEX_LIMIT),
+      the E-row side never exchanges at all — the join becomes a narrow
+      map over the cached/incoming partitions. Costs O(V × executors)
+      network per round, so it is gated on V, never the default at
+      arbitrary scale (same philosophy as pagerank's mode thresholds).
+    """
+    return F.broadcast(mins) if broadcast else mins.hint("shuffle_hash")
+
+
+def _large_star(edges: DataFrame, mins_broadcast: bool = False) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
 
     No explicit distinct: duplicate rows don't change the min/join
@@ -148,24 +172,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = _symmetrize(edges)
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
-    # shuffle_hash hint: the E-row sym side must not be SORTED just to join
-    # the V-row aggregate (SMJ would sort both sides); a shuffled hash join
-    # builds on the per-partition slice of mins (V/parts rows — bounded at
-    # any scale) and streams sym through it
     return (
-        sym.join(mins.hint("shuffle_hash"), "src")
+        sym.join(_mins_side(mins, mins_broadcast), "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, mins_broadcast: bool = False) -> DataFrame:
     """Connect every smaller-or-equal neighbor of u (and u) to the min neighbor."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    joined = oriented.join(mins.hint("shuffle_hash"), "src")
+    joined = oriented.join(_mins_side(mins, mins_broadcast), "src")
     lower = joined.where(F.col("dst") != F.col("m")).select(
         F.col("dst").alias("src"), F.col("m").alias("dst")
     )
@@ -173,7 +193,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return lower.union(self_edge)
 
 
-def _star_contract_round(edges: DataFrame) -> DataFrame:
+def _star_contract_round(
+    edges: DataFrame, mins_broadcast: bool = False
+) -> DataFrame:
     """One CC superstep: large-star → small-star → narrow local contraction.
 
     The fused ``local_contract`` is shuffle-free (runs on the partitions the
@@ -183,9 +205,9 @@ def _star_contract_round(edges: DataFrame) -> DataFrame:
     skew safety (all wide ops remain map-side-combinable aggregates and
     equi-joins; the contraction only ever sees one shuffle partition's rows).
     """
-    return local_contract(_small_star(_large_star(edges))).where(
-        F.col("src") != F.col("dst")
-    )
+    return local_contract(
+        _small_star(_large_star(edges, mins_broadcast), mins_broadcast)
+    ).where(F.col("src") != F.col("dst"))
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -199,7 +221,9 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _chained_count(edges: DataFrame) -> tuple[int, int]:
+def _chained_count(
+    edges: DataFrame, srcs_broadcast: bool = False
+) -> tuple[int, int]:
     """(total rows, non-star-forest witnesses) for convergence detection.
 
     Every round's output edge points strictly downward (src > dst), so the
@@ -220,7 +244,11 @@ def _chained_count(edges: DataFrame) -> tuple[int, int]:
         .withColumn("_m", F.lit(1))
     )
     row = (
-        edges.join(srcs.hint("shuffle_hash"), "dst", "left")
+        edges.join(
+            F.broadcast(srcs) if srcs_broadcast else srcs.hint("shuffle_hash"),
+            "dst",
+            "left",
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("src").alias("n_src"),
@@ -239,6 +267,7 @@ def connected_components(
     pre_contract: bool | None = None,
     range_partition: bool = False,
     single_partition: bool = False,
+    broadcast_mins: bool = False,
     max_iter: int = 50,
     checkpoint_every: int = 3,
     checkpointer=None,
@@ -285,6 +314,19 @@ def connected_components(
     Still EXACT if the input is larger than one union-find chunk — the
     certificate loop keeps iterating until the forest is terminal — but
     then the single task is the bottleneck; never use it unbounded.
+
+    ``broadcast_mins`` — broadcast the per-round V-row min-aggregates (and
+    the certificate's src set) into the star joins so the E-row side never
+    exchanges inside a superstep. OFF by default, deliberately: measured
+    A/B at 64M edges / 4M vertices (local[32]) and at 150-300K edges, the
+    saved E-exchange is offset by the per-round driver collect + broadcast
+    build (2-3 × V rows per round), landing within host noise — because
+    the fused local contraction already converges in 2-3 rounds, the
+    multiplier that would make broadcast win (many rounds × E-exchange)
+    never materializes. The option exists for the case that multiplier
+    returns: high-diameter graphs with small V on clusters where shuffle
+    (not broadcast fan-out, O(V × executors)/round) is the scarce
+    resource. Requires V ≤ CC_BROADCAST_VERTEX_LIMIT-ish to be sane.
     """
     spark = edges.sparkSession
     universe = (
@@ -345,14 +387,14 @@ def connected_components(
                 F.col("src") != F.col("dst")
             )
         else:
-            stepped = _star_contract_round(work)
+            stepped = _star_contract_round(work, mins_broadcast=broadcast_mins)
         if checkpointer is not None and (it + 1) % checkpoint_every == 0:
             stepped = checkpointer.save(stepped, it + 1)
         else:
             # lazy: the convergence-certificate collect below materializes
             # the checkpoint, so each round costs exactly one Spark job
             stepped = stepped.localCheckpoint(eager=False)
-        n_edges, chained = _chained_count(stepped)
+        n_edges, chained = _chained_count(stepped, srcs_broadcast=broadcast_mins)
         if verbose:
             print(
                 f"[cc] round {it + 1} edges={n_edges} chained={chained} "

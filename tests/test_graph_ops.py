@@ -60,6 +60,18 @@ def test_cc_single_partition_matches_default(spark):
     assert m["supersteps"] == 1
 
 
+def test_cc_broadcast_mins_matches_default(spark):
+    rng = np.random.default_rng(11)
+    pairs = rng.integers(0, 300, size=(900, 2)).tolist()
+    e = edges_df(spark, pairs)
+    base = {r.vertex: r.component for r in connected_components(e).collect()}
+    bc = {
+        r.vertex: r.component
+        for r in connected_components(e, broadcast_mins=True).collect()
+    }
+    assert bc == base
+
+
 def test_cc_single_partition_selfloops_isolated(spark):
     e = edges_df(spark, [(7, 7), (8, 9), (9, 8), (10, 10)])
     rows = {
