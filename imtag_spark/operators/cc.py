@@ -374,7 +374,10 @@ def connected_components(
     # flat plan per round; the durable checkpointer (parquet) replaces it
     # every `checkpoint_every` rounds when resumability is requested.
     _t = _time.time()
-    work = work.localCheckpoint(eager=True)
+    if not single_partition:
+        # single-partition mode converges in ~1 round off a trivial plan
+        # (coalesce of the source) — the init truncation job is pure cost
+        work = work.localCheckpoint(eager=True)
     if verbose:
         print(f"[cc] init {_time.time() - _t:.1f}s", flush=True)
     for it in range(start_iter, max_iter):
