@@ -22,6 +22,7 @@ from imtag_spark.functions.polyhash import (  # noqa: E402
     M31,
     band_weights,
     id_mix_sql,
+    label_color_sql,
     minhash_coeffs,
     plane_weight_sql,
     shingle_hash_sql,
@@ -127,26 +128,40 @@ def _grid_cells(spark: SparkSession) -> DataFrame:
 # The driver gate runs every queries() entry in one session; six of them
 # share the same grid RLE + CCL pipeline. Compute each (runs, labels-per-
 # connectivity) once per SparkSession and hold the localCheckpointed result
-# — pure latency optimization, no query's output changes.
-_GRID_CACHE: dict[tuple[int, str], DataFrame] = {}
+# — pure latency optimization, no query's output changes. Keyed by the
+# session's applicationId (NOT id(spark): CPython reuses freed object ids,
+# so a restarted session could alias a stale entry bound to a stopped
+# SparkContext); entries from any other session are evicted on access, so
+# dead sessions' checkpointed RDDs never accumulate.
+_GRID_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_cached(spark: SparkSession, name: str, build) -> DataFrame:
+    ns = spark.sparkContext.applicationId
+    for k in [k for k in _GRID_CACHE if k[0] != ns]:
+        del _GRID_CACHE[k]
+    key = (ns, name)
+    if key not in _GRID_CACHE:
+        _GRID_CACHE[key] = build()
+    return _GRID_CACHE[key]
 
 
 def _grid_runs(spark: SparkSession) -> DataFrame:
-    key = (id(spark), "__runs__")
-    if key not in _GRID_CACHE:
-        _GRID_CACHE[key] = grid_to_runs(_grid_cells(spark)).localCheckpoint(
-            eager=True
-        )
-    return _GRID_CACHE[key]
+    return _session_cached(
+        spark,
+        "__runs__",
+        lambda: grid_to_runs(_grid_cells(spark)).localCheckpoint(eager=True),
+    )
 
 
 def _grid_labels(spark: SparkSession, connectivity: str) -> DataFrame:
-    key = (id(spark), connectivity)
-    if key not in _GRID_CACHE:
-        _GRID_CACHE[key] = label_runs(
+    return _session_cached(
+        spark,
+        f"labels:{connectivity}",
+        lambda: label_runs(
             _grid_runs(spark), connectivity, cells_hint=GRID_R * GRID_C
-        ).localCheckpoint(eager=True)
-    return _GRID_CACHE[key]
+        ).localCheckpoint(eager=True),
+    )
 
 
 def _grid_runs_labeled(spark: SparkSession, connectivity: str = "cross") -> DataFrame:
@@ -179,12 +194,12 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cc_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC labels over the customer↔order graph, once per (session, sf_dir)."""
-    key = (id(spark), "cc_orders", sf_dir)
-    if key not in _GRID_CACHE:
-        _GRID_CACHE[key] = connected_components(
-            customer_order_edges(spark, sf_dir)
-        )  # already localCheckpointed by the operator
-    return _GRID_CACHE[key]
+    return _session_cached(
+        spark,
+        f"cc_orders:{sf_dir}",
+        # already localCheckpointed by the operator
+        lambda: connected_components(customer_order_edges(spark, sf_dir)),
+    )
 
 
 def _q_cc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,8 +296,13 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = f"/tmp/imtag_stream_events_{_hl.sha256(src.encode()).hexdigest()[:12]}"
     _os.makedirs(stage, exist_ok=True)
     link = _os.path.join(stage, "events.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(src, link)
+    # lexists (not exists): a dangling link must not trigger a re-create;
+    # tolerate the race where a concurrent gate process links first
+    if not _os.path.lexists(link):
+        try:
+            _os.symlink(src, link)
+        except FileExistsError:
+            pass
     stream = read_events_stream(spark, stage)
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     _STREAM_QUERY_SEQ[0] += 1
@@ -655,11 +675,11 @@ FROM labeled l JOIN ranks r USING (dense_label)"""
 _RGBA_LABEL_GRID_SQL = (
     "WITH RECURSIVE " + _GRID_CELLS + "," + _islands_rle("cells", "") + ","
     + _cc_sql("")
-    + """
+    + f"""
 SELECT id, row, col_begin, col_end, dense_label,
        c // 65536 AS r, (c // 256) % 256 AS g, c % 256 AS b, 255 AS a
 FROM (
-  SELECT *, ((dense_label % 16777216) * 2654435761) % 16777216 AS c
+  SELECT *, {label_color_sql('dense_label')} AS c
   FROM labeled
 )"""
 )

@@ -84,6 +84,15 @@ def deterministic_planes(n_planes: int, dim: int) -> np.ndarray:
     )
 
 
+def label_color_sql(label_expr: str) -> str:
+    """SQL fragment: 24-bit Knuth color mix for the S7 RGBA label dimension
+    (reference ``to_rgba_label_image`` seeded-rand analog). Shared verbatim
+    by the Spark operator (``label_image.label_color_dim``) and the DuckDB
+    oracle — labels are positive (dense, base >= 1), so ``%`` agrees across
+    engines and the product stays < 2^56 (ANSI-safe)."""
+    return f"((({label_expr}) % 16777216) * {_KNUTH}) % 16777216"
+
+
 def plane_weight_sql(plane_expr: str, dim_expr: str) -> str:
     """SQL fragment matching :func:`deterministic_planes` elementwise."""
     return (

@@ -326,7 +326,10 @@ def connected_components(
     never materializes. The option exists for the case that multiplier
     returns: high-diameter graphs with small V on clusters where shuffle
     (not broadcast fan-out, O(V × executors)/round) is the scarce
-    resource. Requires V ≤ CC_BROADCAST_VERTEX_LIMIT-ish to be sane.
+    resource. Enforced: when requested, the vertex universe is counted
+    once and the option silently falls back to shuffle-hash above
+    CC_BROADCAST_VERTEX_LIMIT (a multi-GB per-round broadcast is never
+    acceptable, whatever the caller hoped).
     """
     spark = edges.sparkSession
     universe = (
@@ -355,6 +358,11 @@ def connected_components(
         work = work.repartitionByRange(n_part, "src")
     if pre_contract:
         work = local_contract(work).where(F.col("src") != F.col("dst"))
+
+    if broadcast_mins and not single_partition:
+        # enforce the documented bound: one count against the persisted
+        # universe; above it a per-round V-row broadcast would be multi-GB
+        broadcast_mins = universe.count() <= CC_BROADCAST_VERTEX_LIMIT
 
     start_iter = 0
     resumed = checkpointer.resume() if checkpointer is not None else None

@@ -55,16 +55,16 @@ def label_color_dim(labels: DataFrame, label_col: str = "dense_label") -> DataFr
     closed-form 24-bit mix of the label (any user mapping can be unioned
     over it). Tiny (one row per component), built for broadcast.
     """
-    # reduce the label mod 2^24 before the Knuth-multiply so the product
-    # stays far below int64 overflow (ANSI mode throws on overflow)
+    from imtag_spark.functions.polyhash import label_color_sql
+
+    # the 24-bit mix fragment is generated once in polyhash and used
+    # verbatim by the DuckDB oracle too — no dual-implementation drift
     base = (
         labels.select(label_col)
         .distinct()
         .select(
             label_col,
-            F.expr(
-                f"pmod(pmod({label_col}, 16777216) * 2654435761, 16777216)"
-            ).alias("_c"),
+            F.expr(label_color_sql(label_col)).alias("_c"),
         )
     )
     return base.select(

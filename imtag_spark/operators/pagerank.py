@@ -95,16 +95,12 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
-    if mode == "auto":
-        # the extra edge-count job is narrow (scan + count) and only paid
-        # when the caller asked us to choose
-        n_e = e.count()
-    if mode == "broadcast" or (
-        mode == "auto"
-        and n <= BROADCAST_VERTEX_LIMIT
-        and n_e <= BROADCAST_EDGE_LIMIT
-        and checkpointer is None
-    ):
+    use_broadcast = mode == "broadcast"
+    if mode == "auto" and checkpointer is None and n <= BROADCAST_VERTEX_LIMIT:
+        # the edge-count job is narrow (scan + count) and only paid when
+        # the cheaper checks haven't already forced the join path
+        use_broadcast = e.count() <= BROADCAST_EDGE_LIMIT
+    if use_broadcast:
         return _pagerank_broadcast(
             e,
             alpha=alpha,
