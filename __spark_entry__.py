@@ -272,6 +272,8 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_QUERY_SEQ = [0]
+#: per-process staging dirs for the file-stream fixture, keyed by source path
+_STREAM_STAGE_DIRS: dict[str, str] = {}
 
 
 def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,21 +290,20 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # the file-stream source requires a DIRECTORY; the fixture is a single
-    # parquet file — stage a symlink dir once per sf_dir (metadata only)
-    import hashlib as _hl
+    # parquet file — stage a symlink dir once per (process, sf_dir). The
+    # stage lives under a mkdtemp-created 0700 directory owned by this
+    # process, never a predictable world-shared /tmp name: on a multi-user
+    # host a guessable path could be pre-created (or symlinked) by another
+    # user to feed arbitrary parquet into the gate query.
     import os as _os
+    import tempfile as _tf
 
     src = _os.path.abspath(f"{sf_dir}/events.parquet")
-    stage = f"/tmp/imtag_stream_events_{_hl.sha256(src.encode()).hexdigest()[:12]}"
-    _os.makedirs(stage, exist_ok=True)
-    link = _os.path.join(stage, "events.parquet")
-    # lexists (not exists): a dangling link must not trigger a re-create;
-    # tolerate the race where a concurrent gate process links first
-    if not _os.path.lexists(link):
-        try:
-            _os.symlink(src, link)
-        except FileExistsError:
-            pass
+    stage = _STREAM_STAGE_DIRS.get(src)
+    if stage is None:
+        stage = _tf.mkdtemp(prefix="imtag_stream_events_")
+        _os.symlink(src, _os.path.join(stage, "events.parquet"))
+        _STREAM_STAGE_DIRS[src] = stage
     stream = read_events_stream(spark, stage)
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     _STREAM_QUERY_SEQ[0] += 1
@@ -377,6 +378,17 @@ def _q_rgba_label_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         colored, "id", "row", "col_begin", "col_end", "dense_label",
         "r", "g", "b", "a",
     )
+
+
+def _q_mask_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S6 to_mask_image analog (src/morphology.cpp:95-99): runs re-densified
+    # to foreground cells, labels dropped, constant 0xFF per cell. The Spark
+    # side round-trips through the engine's RLE (cells → runs → cells); the
+    # oracle recomputes cells from the closed-form grid directly, so the
+    # query also differentially checks the RLE round-trip.
+    from imtag_spark.operators.label_image import mask_cells
+
+    return _as_long(mask_cells(_grid_runs(spark)), "row", "col", "mask")
 
 
 def _q_invert_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_filter_grid": _q_component_filter_grid,
         "remove_renumber_grid": _q_remove_renumber_grid,
         "rgba_label_grid": _q_rgba_label_grid,
+        "mask_grid_cells": _q_mask_grid,
         "invert_grid_runs": _q_invert_grid,
         "dilate_grid_runs": _q_dilate_grid,
         "hole_adjacency_grid": _q_hole_adjacency_grid,
@@ -641,17 +654,17 @@ _CCL_GRID_STATS_SQL = (
     + """
 SELECT dense_label,
        count(*) AS n_runs,
-       sum(col_end - col_begin) AS npixels,
+       CAST(sum(col_end - col_begin) AS BIGINT) AS npixels,
        min(col_begin) AS bbox_left,
        min(row) AS bbox_top,
        max(col_end) AS bbox_right,
        max(row) + 1 AS bbox_bottom,
-       (sum((col_end - 1) * col_end - (col_begin - 1) * col_begin) * 1000000
+       CAST((sum((col_end - 1) * col_end - (col_begin - 1) * col_begin) * 1000000
         + sum(col_end - col_begin)) // (2 * sum(col_end - col_begin))
-         AS centroid_col_u,
-       (sum((col_end - col_begin) * row) * 2000000
+         AS BIGINT) AS centroid_col_u,
+       CAST((sum((col_end - col_begin) * row) * 2000000
         + sum(col_end - col_begin)) // (2 * sum(col_end - col_begin))
-         AS centroid_row_u
+         AS BIGINT) AS centroid_row_u
 FROM labeled GROUP BY dense_label"""
 )
 
@@ -687,6 +700,11 @@ FROM (
 _INVERT_GRID_SQL = (
     "WITH " + _GRID_BGCELLS + "," + _islands_rle("bgcells", "")
     + "\nSELECT id, row, col_begin, col_end FROM ids"
+)
+
+_MASK_GRID_SQL = (
+    "WITH " + _GRID_CELLS
+    + "\nSELECT row, col, CAST(255 AS BIGINT) AS mask FROM cells"
 )
 
 _DILATE_GRID_SQL = (
@@ -1006,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "component_filter_grid": _COMPONENT_FILTER_GRID_SQL,
         "remove_renumber_grid": _REMOVE_RENUMBER_GRID_SQL,
         "rgba_label_grid": _RGBA_LABEL_GRID_SQL,
+        "mask_grid_cells": _MASK_GRID_SQL,
         "invert_grid_runs": _INVERT_GRID_SQL,
         "dilate_grid_runs": _DILATE_GRID_SQL,
         "hole_adjacency_grid": _HOLE_ADJ_GRID_SQL,

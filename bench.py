@@ -191,30 +191,43 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
         "edges_per_sec_per_superstep": headline,
-        "detail": extra,
     }
-    # attach the two-parallelism scaling evidence (north rule ≥0.8 N→4N),
-    # produced by bench/scaling.py on the 64M-edge synthetic workload
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH_SCALING.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Full per-workload detail goes to a SIDE FILE, not the printed line:
+    # the driver tail-captures stdout, and r2's inlined scaling dict
+    # overflowed that capture (BENCH_r02.json parsed: null). The one
+    # printed line stays compact; BENCH_DETAIL.json + BENCH_SCALING.json
+    # carry the rest.
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump({"queries": timings, "detail": extra, "total_sec": total,
+                   "sf": result["sf"], "cpus": cpus}, f, indent=1)
+    # Two-parallelism scaling evidence (north rule >=0.8 N->4N) from
+    # bench/scaling.py: inline only a per-metric best/median summary over
+    # the 8->32 samples; raw per-level eps stays in BENCH_SCALING.json.
+    scaling_path = os.path.join(here, "BENCH_SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             runs = json.load(f)
-        result["scaling"] = {
-            pair: {
-                "n_edges": r["n_edges"],
-                "efficiency": r["scaling_efficiency"],
-                "eps": {
-                    cpus: {
-                        "pagerank_steady": lv["eps_pagerank_steady"],
-                        "pagerank_min": lv["eps_pagerank_min"],
-                        "cc": lv["eps_cc"],
-                    }
-                    for cpus, lv in r["levels"].items()
-                },
-            }
-            for pair, r in runs.items()
-        }
+        def summarize(pairs):
+            out = {}
+            for metric in ("cc", "pagerank_min", "pagerank_steady"):
+                vals = sorted(
+                    r["scaling_efficiency"][metric]
+                    for r in pairs if metric in r.get("scaling_efficiency", {})
+                )
+                if vals:
+                    mid = len(vals) // 2
+                    med = (vals[mid] if len(vals) % 2 else
+                           round((vals[mid - 1] + vals[mid]) / 2, 3))
+                    out[metric] = {"best": vals[-1], "median": med,
+                                   "n": len(vals)}
+            return out
+        uniform = [r for k, r in runs.items()
+                   if k.startswith("8to32") and not r.get("skew")]
+        skewed = [r for k, r in runs.items()
+                  if k.startswith("8to32") and r.get("skew")]
+        result["scaling_8to32"] = {"uniform": summarize(uniform),
+                                   "skew": summarize(skewed)}
     print(json.dumps(result))
 
 

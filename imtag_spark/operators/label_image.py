@@ -31,6 +31,20 @@ def labeled_cells(runs: DataFrame, labels: DataFrame, label_col: str = "dense_la
     )
 
 
+def mask_cells(runs: DataFrame) -> DataFrame:
+    """S6 ``to_mask_image`` analog (/root/reference/src/morphology.cpp:95-99
+    via the maskmode template flag at :20-21): re-densify runs to foreground
+    cells, dropping labels — every cell carries the constant 0xFF. The
+    ``sequence``+``explode`` densification is JVM-side (no UDF)."""
+    return runs.select(
+        "row",
+        F.explode(
+            F.sequence(F.col("col_begin"), F.col("col_end") - 1)
+        ).alias("col"),
+        F.lit(255).alias("mask"),
+    )
+
+
 def to_label_image(
     cells: DataFrame, rows: int, cols: int, dtype=np.uint32
 ) -> np.ndarray:

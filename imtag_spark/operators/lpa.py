@@ -65,7 +65,20 @@ def label_propagation(
             .select("vertex", F.coalesce("label", "old_label").alias("label"),
                     "old_label")
         ).localCheckpoint(eager=False)
-        changed = new_labels.where(F.col("label") != F.col("old_label")).count()
+        # One fused action per round (CC's certificate/collect pattern,
+        # cc.py::_chained_count): the aggregate both materializes the lazy
+        # checkpoint and returns the changed-label count — no separate
+        # count() job over a filtered view of the frontier.
+        changed = int(
+            new_labels.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("label") != F.col("old_label"), 1)
+                    ),
+                    F.lit(0),
+                ).alias("changed")
+            ).collect()[0]["changed"]
+        )
         if verbose:
             print(f"[lpa] iter {it + 1} changed={changed} {time.time() - t0:.1f}s", flush=True)
         labels = new_labels.select("vertex", "label")

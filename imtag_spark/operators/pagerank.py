@@ -35,11 +35,14 @@ from pyspark.sql import functions as F
 #: count (ranks array ≈ 8B × V per executor — 160 MB at the threshold)
 BROADCAST_VERTEX_LIMIT = 20_000_000
 
-#: ...and below this edge count. The broadcast mode's per-superstep cost
-#: is the Arrow transit of the E-row tile set plus a driver-side gather,
-#: so it loses to the join mode once E dominates: measured local[32],
-#: 300K edges broadcast ~1.25x faster; ~8M comparable; 64M edges ~2x
-#: SLOWER (15.6 s vs 5.5-9 s steady superstep). Crossover ≈ 10^7.
+#: ...and below this TRANSITION-ROW count (cleaned + symmetrized edges —
+#: an undirected graph contributes ~2 rows per input edge). The broadcast
+#: mode's per-superstep cost is the Arrow transit of the transition-row
+#: tile set plus a driver-side gather, so it loses to the join mode once
+#: that row count dominates: measured local[32] on directed graphs (input
+#: edges == transition rows), 300K rows broadcast ~1.25x faster; ~8M
+#: comparable; 64M rows ~2x SLOWER (15.6 s vs 5.5-9 s steady superstep).
+#: Crossover ≈ 10^7 transition rows.
 BROADCAST_EDGE_LIMIT = 10_000_000
 
 
@@ -72,8 +75,17 @@ def pagerank(
       fits a broadcast; above that the per-superstep Arrow transit of the
       E-row tiles loses to the join path (measured: 2x slower at 64M
       edges). No checkpointer support (driver holds the V-sized state).
-    - ``"auto"`` — broadcast when V ≤ BROADCAST_VERTEX_LIMIT, E ≤
-      BROADCAST_EDGE_LIMIT, and no checkpointer is requested, else join.
+    - ``"auto"`` — broadcast when V ≤ BROADCAST_VERTEX_LIMIT, the
+      TRANSITION-ROW count ≤ BROADCAST_EDGE_LIMIT, and no checkpointer is
+      requested, else join. The gate deliberately counts the cleaned,
+      symmetrized edge set — one transition row per directed edge, so an
+      undirected graph contributes ~2 rows per input edge — because that
+      is the unit the broadcast superstep actually pays (the Arrow transit
+      of the tile columns is linear in transition rows) and the unit of
+      BENCH.md's crossover table (directed synthetic graphs, where input
+      edges == transition rows). Gating on raw input edges would admit a
+      9M-edge undirected graph whose 18M tile rows sit past the measured
+      break-even.
     """
     if mode not in ("join", "broadcast", "auto"):
         raise ValueError(f"unknown mode: {mode}")

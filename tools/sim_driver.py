@@ -27,22 +27,20 @@ STRICT = os.environ.get("SIM_DRIVER_STRICT", "1") != "0"
 
 def _canon(v):
     """Canonical numeric form, mirroring the driver's type-coercing value
-    hash: integral numerics (int / integral Decimal / integral double)
-    compare as int regardless of which engine's type system produced
-    them; non-integral values compare at FULL float precision (repr), so
-    a last-ulp divergence — the r1 ``ccl_grid_stats`` failure mode — is
-    caught instead of masked. Large ints stay exact (never via float)."""
+    hash EXACTLY: Decimal coerces to float (so an oracle emitting
+    DECIMAL(38,0) where Spark emits BIGINT stringifies as "7000000.0" vs
+    "7000000" and FAILS — the r2 ``ccl_grid_stats`` gate failure the old
+    Decimal→int folding masked); ints stay int; floats compare at full
+    precision (repr), so a last-ulp divergence — the r1 failure mode —
+    is caught too. Never collapse integral floats/Decimals to int: the
+    driver does not."""
     if isinstance(v, bool) or not isinstance(v, (int, float, decimal.Decimal)):
         return v
     if isinstance(v, decimal.Decimal):
-        if v == v.to_integral_value():
-            return int(v)
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v.is_integer() and abs(v) < 2**53:
-            return int(v)
         return repr(v) if STRICT else round(v, 6)
     return v
 
