@@ -67,7 +67,21 @@ def pagerank(
 
     ``mode``:
     - ``"join"`` — fully distributed: every superstep is one gather join +
-      one aggregate; scales to any V; shuffles O(E) rows per superstep.
+      one aggregate; scales to any V; per superstep the V-row ranks side
+      exchanges to meet the cached src-partitioned transitions, and the
+      map-side-combined contributions exchange to the dst aggregate.
+    - ``"broadcast_join"`` — the JVM-pipeline sibling of ``broadcast``:
+      transitions are cached hash-partitioned by ``dst``; each superstep
+      broadcast-hash-joins the V-row ranks into them (no exchange on
+      either join side) and the ``groupBy(dst)`` aggregate reuses the
+      cached dst partitioning, so the E-row side NEVER exchanges and no
+      per-superstep Arrow transit exists — the whole superstep stays in
+      whole-stage codegen. Costs one O(V × executors) broadcast per
+      round; gated on V ≤ BROADCAST_VERTEX_LIMIT (falls back to join
+      above it). Unlike the CSR ``broadcast`` mode, rank state remains a
+      DataFrame, so checkpointer/resume works. On a real cluster this
+      trades the join mode's two per-superstep shuffles for broadcast
+      fan-out; in this sandbox (tmpfs shuffle) see BENCH.md's A/B table.
     - ``"broadcast"`` — CSR-tile gather-scatter: ranks live in a broadcast
       NumPy array, each dst-partitioned edge tile computes its partial
       contribution sums vectorized, and only O(V) aggregated rows shuffle
@@ -87,7 +101,7 @@ def pagerank(
       9M-edge undirected graph whose 18M tile rows sit past the measured
       break-even.
     """
-    if mode not in ("join", "broadcast", "auto"):
+    if mode not in ("join", "broadcast", "broadcast_join", "auto"):
         raise ValueError(f"unknown mode: {mode}")
     if mode == "broadcast" and checkpointer is not None:
         raise ValueError(
@@ -124,6 +138,11 @@ def pagerank(
     if n == 0:
         return edges.sparkSession.createDataFrame([], "vertex BIGINT, rank DOUBLE")
 
+    # broadcast_join keeps rank state in DataFrames (checkpointer-safe)
+    # but pays an O(V) broadcast per round — enforce the same V bound as
+    # the CSR mode, falling back to the any-scale join path above it.
+    use_bjoin = mode == "broadcast_join" and n <= BROADCAST_VERTEX_LIMIT
+
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # Transition table: one row per edge with its 1/out_deg weight — built
     # once, reused every superstep. CRITICAL for scale: persist it
@@ -133,14 +152,25 @@ def pagerank(
     # re-exchanged and re-sorted all E rows every superstep); with the
     # cache, each superstep exchanges only the V-row ranks side while the
     # E-row side never moves again.
+    #
+    # broadcast_join flips the cached partitioning to ``dst`` (the agg
+    # key): the superstep's gather join is then a broadcast hash join (no
+    # exchange on either side) whose output still carries the cached dst
+    # partitioning, so the groupBy(dst) needs no exchange either — the
+    # E-row side never moves AND never re-aggregates across the wire. No
+    # sortWithinPartitions: hash join + hash agg don't consume ordering.
     n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    transitions = (
-        e.join(out_deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .repartition(n_part, "src")
-        .sortWithinPartitions("src")
-        .persist()
+    transitions = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
     )
+    if use_bjoin:
+        transitions = transitions.repartition(n_part, "dst").persist()
+    else:
+        transitions = (
+            transitions.repartition(n_part, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
     transitions.count()  # materialize the cache before timing supersteps
     has_out = out_deg.select(F.col("src").alias("vertex"), F.lit(True).alias("_has_out"))
     # vertex table annotated with dangling flag (computed once); the flag
@@ -164,13 +194,20 @@ def pagerank(
     base = (1.0 - alpha) / n
     for it in range(max_iter):
         t0 = time.time()
+        ranks_side = ranks.select(F.col("vertex").alias("src"), "rank")
         contribs = (
             transitions.join(
-                ranks.select(F.col("vertex").alias("src"), "rank"), "src"
+                F.broadcast(ranks_side) if use_bjoin else ranks_side, "src"
             )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
+        if metrics_out is not None and it == 0:
+            # first-superstep physical plan, for the plan-quality tests
+            # (asserts the cached E-row side never re-exchanges)
+            metrics_out["contribs_plan"] = (
+                contribs._jdf.queryExecution().executedPlan().toString()
+            )
         # scatter-merge: old rank rides along as r0, so the convergence
         # check below is a plain aggregate — no extra V⋈V join per round
         new_ranks = (
@@ -211,6 +248,7 @@ def pagerank(
         if metrics_out is not None:
             metrics_out.setdefault("superstep_times", []).append(time.time() - t0)
             metrics_out["supersteps"] = it + 1
+            metrics_out["mode"] = "broadcast_join" if use_bjoin else "join"
         ranks = new_ranks
         if delta < tol:
             break

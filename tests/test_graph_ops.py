@@ -157,6 +157,82 @@ def test_pagerank_modes_agree(spark):
         assert abs(j[v] - b[v]) < 1e-12
 
 
+@pytest.mark.parametrize("directed", [True, False])
+def test_pagerank_broadcast_join_mode_vs_numpy(spark, directed):
+    rng = np.random.default_rng(37)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 25, size=(80, 2)) if a != b})
+    e = edges_df(spark, pairs)
+    metrics = {}
+    got = {r.vertex: r.rank for r in pagerank(
+        e, directed=directed, tol=1e-8, max_iter=200, mode="broadcast_join",
+        metrics_out=metrics).collect()}
+    assert metrics["mode"] == "broadcast_join"
+    want = numpy_pagerank(pairs, [], directed=directed)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_broadcast_join_matches_join_mode(spark):
+    # identical DataFrame arithmetic, different physical strategy. NOT
+    # bit-equal by design: the partial aggregates sum each dst's
+    # contributions in a different grouping (src-partitioned vs
+    # dst-partitioned input), so float rounding can differ in the last
+    # ulp — demand agreement far below the 1e-6 oracle tolerance instead
+    rng = np.random.default_rng(41)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 60, size=(300, 2)) if a != b})
+    e = edges_df(spark, pairs)
+    j = {r.vertex: r.rank for r in pagerank(e, tol=0.0, max_iter=12, mode="join").collect()}
+    bj = {r.vertex: r.rank for r in pagerank(
+        e, tol=0.0, max_iter=12, mode="broadcast_join").collect()}
+    assert set(j) == set(bj)
+    for v in j:
+        assert abs(j[v] - bj[v]) <= 1e-12 * max(1.0, abs(j[v]))
+
+
+def test_pagerank_broadcast_join_superstep_never_exchanges_edges(spark):
+    # the whole point of the mode: the E-row transitions side is cached
+    # hash(dst)-partitioned, the ranks side arrives via BroadcastExchange,
+    # and the groupBy(dst) reuses the cached partitioning — so the
+    # superstep plan must contain NO shuffle Exchange at all
+    e = edges_df(spark, [(a, b) for a in range(30) for b in range(a + 1, 30, 3)])
+    metrics = {}
+    pagerank(e, tol=0.0, max_iter=2, mode="broadcast_join", metrics_out=metrics)
+    plan = metrics["contribs_plan"]
+    assert "BroadcastHashJoin" in plan
+    # the cached InMemoryRelation prints its one-time BUILD plan (which
+    # legitimately shuffles) as a subtree; the superstep proper is
+    # everything above it: final agg <- partial agg <- project <-
+    # broadcast join <- cache scan, and none of that may exchange
+    superstep = plan.splitlines()
+    superstep = superstep[: next(
+        i for i, ln in enumerate(superstep) if "InMemoryRelation" in ln
+    )]
+    shuffle_exchanges = [
+        ln for ln in superstep
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert shuffle_exchanges == [], shuffle_exchanges
+
+
+def test_pagerank_broadcast_join_supports_checkpointer(spark, tmp_path):
+    # unlike the CSR broadcast mode (which raises), rank state stays a
+    # DataFrame here, so durable checkpoint/resume must keep working
+    from imtag_spark.plans.checkpoint import SuperstepCheckpointer
+
+    rng = np.random.default_rng(43)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 20, size=(60, 2)) if a != b})
+    e = edges_df(spark, pairs)
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path / "pr_bjoin"))
+    got = {r.vertex: r.rank for r in pagerank(
+        e, tol=1e-8, max_iter=100, mode="broadcast_join",
+        checkpointer=ckpt, checkpoint_every=2).collect()}
+    want = numpy_pagerank(pairs, [], directed=True)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6
+
+
 def test_pagerank_star_closed_form(spark):
     # hub 0 with k spokes, undirected: symmetric closed form
     k = 50
