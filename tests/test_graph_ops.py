@@ -60,6 +60,27 @@ def test_cc_single_partition_matches_default(spark):
     assert m["supersteps"] == 1
 
 
+def test_cc_reuse_round_matches_default(spark, monkeypatch):
+    # the exchange-shared round structure only engages above
+    # REUSE_EDGE_LIMIT in production; force it here and require exact
+    # label parity on a multi-round graph (random + long path tail)
+    import imtag_spark.operators.cc as cc_mod
+
+    rng = np.random.default_rng(23)
+    pairs = rng.integers(0, 500, size=(1200, 2)).tolist()
+    pairs += [(1000 + i, 1000 + i + 1) for i in range(300)]
+    e = edges_df(spark, pairs)
+    base = {r.vertex: r.component for r in connected_components(e).collect()}
+    monkeypatch.setattr(cc_mod, "REUSE_EDGE_LIMIT", 0)
+    m: dict = {}
+    reuse = {
+        r.vertex: r.component
+        for r in connected_components(e, metrics_out=m, max_iter=20).collect()
+    }
+    assert reuse == base
+    assert m["supersteps"] >= 2  # the shared structure ran across rounds
+
+
 def test_cc_broadcast_mins_matches_default(spark):
     rng = np.random.default_rng(11)
     pairs = rng.integers(0, 300, size=(900, 2)).tolist()
