@@ -64,14 +64,15 @@ SMALL_GRAPH_EDGE_LIMIT = LOCAL_CONTRACT_CHUNK // 2
 #: (320 MB at the limit), never the default at arbitrary V.
 CC_BROADCAST_VERTEX_LIMIT = 20_000_000
 
-#: edge-count bound above which a round uses the exchange-shared star
-#: structure (``_star_contract_round_reuse``). Sharing costs two extra
+#: edge-count bound above which a round uses the oriented exchange-shared
+#: star structure (``_star_contract_round_reuse``). It costs two extra
 #: scheduled stages per round (the explicit repartitions), a fixed
 #: ~0.3 s/round at local scheduling rates — pure loss on gate-sized
-#: graphs, decisively won back once the E-row exchanges it halves carry
-#: millions of rows (64M edges: round 1 39.3 s → 28.6 s). The count is
-#: free: round 1 reads it off the init lineage-truncation job, later
-#: rounds off the convergence certificate.
+#: graphs, decisively won back once the E-row exchanges carry millions of
+#: rows (64M edges round 1: 39.3 s flat → 30.7 s oriented, and 2 E-row
+#: exchanges instead of the flat round's 4). The count is free: round 1
+#: reads it off the init lineage-truncation job, later rounds off the
+#: convergence certificate.
 REUSE_EDGE_LIMIT = 2_000_000
 
 
@@ -223,22 +224,32 @@ def _star_contract_round(
 def _star_contract_round_reuse(
     edges: DataFrame, n_part: int
 ) -> tuple[DataFrame, list[DataFrame]]:
-    """The default superstep: same round function as ``_star_contract_round``
-    but each star's E-row input is exchanged ONCE and shared.
+    """The default big-graph superstep: same round function as
+    ``_star_contract_round`` (bit-identical output, A/B-verified at 64M
+    edges), restructured so no symmetrized 2E-row set ever exists.
 
-    Without this, each star pays TWO independent E-row exchanges — its
-    ``sym``/``oriented`` feeds both the min-aggregate (whose partial-agg
-    shuffle is ~E rows when V is large relative to partition size) and the
-    shuffled-hash join — because Catalyst cannot reuse an Exchange whose
-    children differ (partial-agg below one, none below the other). Caching
-    the input hash(src)-partitioned makes BOTH consumers read the one
-    cached exchange: the aggregate completes in a single stage (child
-    partitioning satisfies it) and the join needs no exchange on either
-    side (mins inherit the same hash(src) layout from the agg). Per round
-    that is 2 E-row exchanges instead of 4 — on a real cluster, half the
-    superstep network; measured here (64M edges / 4M vertices, local[32],
-    best-of-2 interleaved reps) round 1 drops 39.3 s → 28.6 s and is far
-    more stable across reps (28.6/29.4 vs 39.3/205).
+    The naive round symmetrizes the edges (2E rows) to compute each
+    vertex's full-neighborhood min with one groupBy. Here each edge is
+    instead oriented ONCE as ``(c=min endpoint, n=max endpoint)`` — E rows,
+    cached hash(c)-partitioned — and the full-neighborhood min of every
+    vertex u is assembled from two E-row aggregates joined on the V-row
+    level: ``min n over edges where u=c`` (reuses the cache partitioning —
+    zero exchange) + ``min c over edges where u=n`` (the round's one
+    unavoidable E-row exchange), merged with a V-row full-outer join and
+    ``least(u, ·, ·)``.
+
+    The large star then falls out without a filter: u's strictly-larger
+    neighbors are EXACTLY the n's of its c-edges, so
+    ``o ⋈ m on c → (n, m(c))`` is the whole large-star output, already
+    oriented src>dst — the small star's greatest/least normalization
+    disappears too. One more E-row exchange lands it hash(src)-partitioned
+    for the small-star aggregate+join (both exchange-free on the E side).
+
+    Per round: 2 E-row exchanges and E cached rows, vs 3E exchanged / 3E
+    cached for the symmetrize-and-share variant this replaces — on a real
+    cluster a third less superstep network and half the cache. Measured
+    (64M edges / 4M vertices, local[32], interleaved reps on a noisy
+    host): round 1 32.6/30.7 s vs 135.7/49.4 s, identical output hashes.
 
     The caches are materialized by the same certificate action that drives
     the round (no extra job) and must be unpersisted by the caller once
@@ -246,23 +257,27 @@ def _star_contract_round_reuse(
     side never exchanges anyway, so the explicit exchange would only add
     cost).
     """
-    sym = _symmetrize(edges).repartition(n_part, "src").persist()
-    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
-    mins = mins.select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
-    ls = (
-        sym.join(mins.hint("shuffle_hash"), "src")
-        .where(F.col("dst") > F.col("src"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    )
-    oriented = (
-        ls.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
+    o = (
+        edges.select(
+            F.least("src", "dst").alias("c"), F.greatest("src", "dst").alias("n")
         )
-        .where(F.col("src") != F.col("dst"))
-        .repartition(n_part, "src")
+        .where(F.col("c") != F.col("n"))
+        .repartition(n_part, "c")
         .persist()
     )
+    mins_c = o.groupBy("c").agg(F.min("n").alias("mc"))
+    mins_n = o.groupBy("n").agg(F.min("c").alias("mn")).withColumnRenamed("n", "c")
+    # F.least skips nulls, so vertices seen only as c (or only as n) get
+    # the min over whatever neighborhood side exists — plus themselves,
+    # matching min(Γ(u) ∪ {u}) exactly.
+    m = mins_c.join(mins_n, "c", "full").select(
+        "c", F.least("c", "mc", "mn").alias("m")
+    )
+    ls = o.join(m.hint("shuffle_hash"), "c").select(
+        F.col("n").alias("src"), F.col("m").alias("dst")
+    )
+    # m(c) <= c < n, so ls is already strictly oriented src > dst
+    oriented = ls.repartition(n_part, "src").persist()
     smins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     lower = (
         oriented.join(smins.hint("shuffle_hash"), "src")
@@ -271,7 +286,7 @@ def _star_contract_round_reuse(
     )
     ss = lower.union(smins.select("src", F.col("m").alias("dst")))
     out = local_contract(ss).where(F.col("src") != F.col("dst"))
-    return out, [sym, oriented]
+    return out, [o, oriented]
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
