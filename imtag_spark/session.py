@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default 10k Arrow batches fragment multi-million-row partitions
+        # into hundreds of IPC round-trips per task; 500k cuts the framing
+        # overhead while keeping per-batch memory trivial (~8 MB for two
+        # BIGINT columns)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
