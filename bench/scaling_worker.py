@@ -59,17 +59,28 @@ def main() -> None:
     )
     m = edges.count()
 
-    pr_m: dict = {}
-    pagerank(edges, directed=True, tol=0.0, max_iter=10, metrics_out=pr_m).count()
-    # CC converges in ~2 rounds, so unlike PageRank's 10 identical
-    # supersteps there is no in-run minimum to absorb hypervisor steal
-    # spikes. Run the whole (deterministic) job CC_REPS times in this JVM
-    # and take the per-round-index minimum: identical work each
-    # repetition, so the min is the least contention-contaminated
-    # observation. Raw per-repetition times are reported alongside.
-    CC_REPS = 3
+    # Both workloads use the SAME repetition protocol: run the identical
+    # deterministic job REPS times in this JVM and take the
+    # per-superstep-index minimum across repetitions. The work per
+    # (round, repetition) cell is bit-identical, so the min is the least
+    # contention-contaminated observation of that round on this
+    # steal-prone shared-hypervisor host; raw per-repetition times are
+    # disclosed alongside. r2 applied this only to CC; PageRank's single
+    # 10-superstep run still rode 2-5x steal spikes (BENCH_SCALING
+    # samples 4/5 show 16-27 s outlier supersteps at local[32] that a
+    # cross-rep min removes).
+    REPS = int(os.environ.get("SCALING_REPS", "3"))
+    pr_reps: list[list[float]] = []
+    for _ in range(REPS):
+        pr_m: dict = {}
+        pagerank(
+            edges, directed=True, tol=0.0, max_iter=10, metrics_out=pr_m
+        ).count()
+        pr_reps.append(pr_m["superstep_times"])
+    n_steps = min(len(r) for r in pr_reps)
+    pr_min_by_step = [min(r[i] for r in pr_reps) for i in range(n_steps)]
     cc_reps: list[list[float]] = []
-    for _ in range(CC_REPS):
+    for _ in range(REPS):
         cc_m: dict = {}
         connected_components(edges, metrics_out=cc_m).count()
         cc_reps.append(cc_m["superstep_times"])
@@ -79,7 +90,7 @@ def main() -> None:
     def eps(times):
         return round(m / (sum(times) / len(times)), 1) if times else None
 
-    pr_times = pr_m["superstep_times"]
+    pr_times = pr_min_by_step
     # steady state: drop the first two supersteps (JVM JIT + AQE warmup —
     # a long-running production job runs hundreds of supersteps, so the
     # steady-state rate is the honest per-superstep throughput). The
@@ -93,7 +104,11 @@ def main() -> None:
                 "cpus": cpus,
                 "n_edges": m,
                 "skew": skew,
+                "reps": REPS,
                 "pagerank_superstep_times": [round(t, 3) for t in pr_times],
+                "pagerank_superstep_times_reps": [
+                    [round(t, 3) for t in r] for r in pr_reps
+                ],
                 "cc_superstep_times": [round(t, 3) for t in cc_min_times],
                 "cc_superstep_times_reps": [
                     [round(t, 3) for t in r] for r in cc_reps
