@@ -32,7 +32,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,6 +75,11 @@ CC_BROADCAST_VERTEX_LIMIT = 20_000_000
 REUSE_EDGE_LIMIT = 2_000_000
 
 
+#: rows per emitted Arrow batch from the contraction (bounds JVM-side
+#: buffering of one IPC message; 1M × 16B ≈ 16 MB)
+_CONTRACT_OUT_BATCH = 1_000_000
+
+
 def _local_contract_fn(chunk: int):
     """Build the per-partition union-find closure; emits (vertex, local_root).
 
@@ -88,28 +92,55 @@ def _local_contract_fn(chunk: int):
     (``chunk`` edges) so a skew-fattened partition cannot blow up one
     task's memory or stall it on a single giant sort. A closure (not a
     module global) so the chunk bound serializes by value to executors.
-    """
 
-    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frames: list[pd.DataFrame] = []
+    Runs under ``mapInArrow`` (not ``mapInPandas``): the kernel is NumPy
+    end-to-end, so the pandas Series wrapping/unwrapping on both sides of
+    the transit is pure overhead — Arrow int64 arrays view as NumPy for
+    free (no nulls), and results go back as sliced RecordBatches. On this
+    steal-noisy host the measured 64M-edge round times are statistically
+    unchanged (the transit is not the round's bottleneck after the 500k
+    Arrow batch fix); the win is structural — one less columnar
+    conversion per direction on every contraction at any scale.
+    """
+    import pyarrow as pa
+
+    def _batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
         buffered = 0
-        for pdf in batches:
-            if not len(pdf):
+
+        def _emit():
+            verts, roots = _contract_arrays(srcs, dsts)
+            out = pa.record_batch(
+                [pa.array(verts), pa.array(roots)], names=["src", "dst"]
+            )
+            for off in range(0, out.num_rows, _CONTRACT_OUT_BATCH):
+                yield out.slice(off, _CONTRACT_OUT_BATCH)
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            frames.append(pdf)
-            buffered += len(pdf)
+            srcs.append(
+                rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            )
+            dsts.append(
+                rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            )
+            buffered += rb.num_rows
             if buffered >= chunk:
-                yield _contract_frames(frames)
-                frames, buffered = [], 0
-        if frames:
-            yield _contract_frames(frames)
+                yield from _emit()
+                srcs, dsts, buffered = [], [], 0
+        if srcs:
+            yield from _emit()
 
     return _batches
 
 
-def _contract_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
-    src = np.concatenate([f["src"].to_numpy(dtype=np.int64) for f in frames])
-    dst = np.concatenate([f["dst"].to_numpy(dtype=np.int64) for f in frames])
+def _contract_arrays(
+    srcs: list[np.ndarray], dsts: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
     verts, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
     a = idx[: len(src)]
     b = idx[len(src):]
@@ -140,12 +171,12 @@ def _contract_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
         if np.array_equal(nxt, p):
             break
         p = nxt
-    return pd.DataFrame({"src": verts, "dst": verts[p]})
+    return verts, verts[p]
 
 
 def local_contract(edges: DataFrame, chunk: int = LOCAL_CONTRACT_CHUNK) -> DataFrame:
     """Shuffle-free per-partition contraction: edges → (vertex, local_root) pairs."""
-    return edges.mapInPandas(_local_contract_fn(chunk), schema=EDGE_SCHEMA)
+    return edges.mapInArrow(_local_contract_fn(chunk), schema=EDGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +252,39 @@ def _star_contract_round(
     ).where(F.col("src") != F.col("dst"))
 
 
+def _orient_cached(edges: DataFrame, n_part: int) -> DataFrame:
+    """Orient each edge once as ``(c=min endpoint, n=max endpoint)``,
+    cached hash(c)-partitioned — the E-row working set both big-graph
+    round structures build on. Caller unpersists."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("c"), F.greatest("src", "dst").alias("n")
+        )
+        .where(F.col("c") != F.col("n"))
+        .repartition(n_part, "c")
+        .persist()
+    )
+
+
+def _neighborhood_mins(o: DataFrame) -> DataFrame:
+    """Per-vertex ``m(u) = min(Γ(u) ∪ {u})`` from the oriented edge cache:
+    two E-row aggregates (the c-side reuses the cache partitioning — zero
+    exchange; the n-side exchanges only partial aggregates) merged at the
+    V-row level. ``F.least`` skips nulls, so vertices seen only as c (or
+    only as n) get the min over whatever neighborhood side exists — plus
+    themselves, matching min(Γ(u) ∪ {u}) exactly."""
+    mins_c = o.groupBy("c").agg(F.min("n").alias("mc"))
+    mins_n = o.groupBy("n").agg(F.min("c").alias("mn")).withColumnRenamed("n", "c")
+    return mins_c.join(mins_n, "c", "full").select(
+        "c", F.least("c", "mc", "mn").alias("m")
+    )
+
+
 def _star_contract_round_reuse(
-    edges: DataFrame, n_part: int
+    edges: DataFrame | None,
+    n_part: int,
+    o: DataFrame | None = None,
+    m: DataFrame | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The default big-graph superstep: same round function as
     ``_star_contract_round`` (bit-identical output, A/B-verified at 64M
@@ -257,22 +319,10 @@ def _star_contract_round_reuse(
     side never exchanges anyway, so the explicit exchange would only add
     cost).
     """
-    o = (
-        edges.select(
-            F.least("src", "dst").alias("c"), F.greatest("src", "dst").alias("n")
-        )
-        .where(F.col("c") != F.col("n"))
-        .repartition(n_part, "c")
-        .persist()
-    )
-    mins_c = o.groupBy("c").agg(F.min("n").alias("mc"))
-    mins_n = o.groupBy("n").agg(F.min("c").alias("mn")).withColumnRenamed("n", "c")
-    # F.least skips nulls, so vertices seen only as c (or only as n) get
-    # the min over whatever neighborhood side exists — plus themselves,
-    # matching min(Γ(u) ∪ {u}) exactly.
-    m = mins_c.join(mins_n, "c", "full").select(
-        "c", F.least("c", "mc", "mn").alias("m")
-    )
+    if o is None:
+        o = _orient_cached(edges, n_part)
+    if m is None:
+        m = _neighborhood_mins(o)
     ls = o.join(m.hint("shuffle_hash"), "c").select(
         F.col("n").alias("src"), F.col("m").alias("dst")
     )
@@ -286,6 +336,21 @@ def _star_contract_round_reuse(
     )
     ss = lower.union(smins.select("src", F.col("m").alias("dst")))
     out = local_contract(ss).where(F.col("src") != F.col("dst"))
+    # Second, hash(src)-partitioned contraction: the first pass contracts
+    # within whatever partitions the small star produced, so a vertex
+    # seen by k partitions emits k pointer rows (measured 64M edges / 4M
+    # vertices: 23.2M rows out — 5.8× duplication), and EVERY downstream
+    # cost (certificate aggregate, next round's exchanges and transits)
+    # is row-proportional. One exchange of the already-contracted rows
+    # co-locates each vertex's pointers and the second union-find fuses
+    # them (→ 4.34M rows). Interleaved A/B, rep-min over 3, local[32]:
+    # round 1 32.2 → 29.0 s (the dedup pays for its own exchange inside
+    # the round) and round 2 falls 20.8 → 6.3 s. Skew-safe: hash(src)
+    # over post-contraction pointer rows is ≤ partition-spread per vertex,
+    # not degree — a hub's million neighbors each carry their OWN src key.
+    out = local_contract(out.repartition(n_part, "src")).where(
+        F.col("src") != F.col("dst")
+    )
     return out, [o, oriented]
 
 
