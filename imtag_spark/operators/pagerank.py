@@ -31,19 +31,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: auto mode switches to the broadcast/CSR-tile path below this vertex
-#: count (ranks array ≈ 8B × V per executor — 160 MB at the threshold)
+#: auto mode takes the broadcast_join path at or below this vertex count
+#: (per-superstep rank broadcast ≈ 16B × V per executor — 320 MB at the
+#: threshold); the CSR ``broadcast`` mode shares the gate when requested
+#: explicitly (ranks array ≈ 8B × V per executor)
 BROADCAST_VERTEX_LIMIT = 20_000_000
-
-#: ...and below this TRANSITION-ROW count (cleaned + symmetrized edges —
-#: an undirected graph contributes ~2 rows per input edge). The broadcast
-#: mode's per-superstep cost is the Arrow transit of the transition-row
-#: tile set plus a driver-side gather, so it loses to the join mode once
-#: that row count dominates: measured local[32] on directed graphs (input
-#: edges == transition rows), 300K rows broadcast ~1.25x faster; ~8M
-#: comparable; 64M rows ~2x SLOWER (15.6 s vs 5.5-9 s steady superstep).
-#: Crossover ≈ 10^7 transition rows.
-BROADCAST_EDGE_LIMIT = 10_000_000
 
 
 def pagerank(
@@ -89,17 +81,18 @@ def pagerank(
       fits a broadcast; above that the per-superstep Arrow transit of the
       E-row tiles loses to the join path (measured: 2x slower at 64M
       edges). No checkpointer support (driver holds the V-sized state).
-    - ``"auto"`` — broadcast when V ≤ BROADCAST_VERTEX_LIMIT, the
-      TRANSITION-ROW count ≤ BROADCAST_EDGE_LIMIT, and no checkpointer is
-      requested, else join. The gate deliberately counts the cleaned,
-      symmetrized edge set — one transition row per directed edge, so an
-      undirected graph contributes ~2 rows per input edge — because that
-      is the unit the broadcast superstep actually pays (the Arrow transit
-      of the tile columns is linear in transition rows) and the unit of
-      BENCH.md's crossover table (directed synthetic graphs, where input
-      edges == transition rows). Gating on raw input edges would admit a
-      9M-edge undirected graph whose 18M tile rows sit past the measured
-      break-even.
+    - ``"auto"`` — ``broadcast_join`` when V ≤ BROADCAST_VERTEX_LIMIT,
+      else ``join``. Chosen from the r3 interleaved A/B (BENCH.md): the
+      broadcast-join superstep beat the join superstep at every measured
+      size (8/16/64M transition rows; 64M steady-state 21.4M vs 17.7M
+      edges/s), it is checkpointer-safe, and the gate needs no extra
+      edge-count job. The CSR ``broadcast`` mode is explicit-only now —
+      its Arrow tile transit loses to broadcast_join's all-JVM superstep
+      at every size measured. Caveat for real clusters: the broadcast
+      fan-out is O(V × executors) per superstep while the join mode
+      shuffles only O(V) rows, so on many-hundred-executor deployments
+      with large V the crossover shifts toward ``join`` — set the mode
+      explicitly there (this sandbox cannot price that network).
     """
     if mode not in ("join", "broadcast", "broadcast_join", "auto"):
         raise ValueError(f"unknown mode: {mode}")
@@ -122,10 +115,6 @@ def pagerank(
     )
     n = vertices.count()
     use_broadcast = mode == "broadcast"
-    if mode == "auto" and checkpointer is None and n <= BROADCAST_VERTEX_LIMIT:
-        # the edge-count job is narrow (scan + count) and only paid when
-        # the cheaper checks haven't already forced the join path
-        use_broadcast = e.count() <= BROADCAST_EDGE_LIMIT
     if use_broadcast:
         return _pagerank_broadcast(
             e,
@@ -141,7 +130,11 @@ def pagerank(
     # broadcast_join keeps rank state in DataFrames (checkpointer-safe)
     # but pays an O(V) broadcast per round — enforce the same V bound as
     # the CSR mode, falling back to the any-scale join path above it.
-    use_bjoin = mode == "broadcast_join" and n <= BROADCAST_VERTEX_LIMIT
+    # auto: measured at 8/16/64M edges (BENCH.md r3 A/B, per-superstep
+    # min over 3 interleaved reps), broadcast_join beats the join mode at
+    # every size on this host (64M steady: 21.4M vs 17.7M edges/s), so
+    # within the V gate it is the auto choice — no edge-count job needed.
+    use_bjoin = mode in ("broadcast_join", "auto") and n <= BROADCAST_VERTEX_LIMIT
 
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # Transition table: one row per edge with its 1/out_deg weight — built

@@ -212,6 +212,27 @@ def test_pagerank_broadcast_join_matches_join_mode(spark):
         assert abs(j[v] - bj[v]) <= 1e-12 * max(1.0, abs(j[v]))
 
 
+def test_pagerank_auto_mode_routes_and_matches(spark, monkeypatch):
+    # auto = broadcast_join within the V gate, join above it (r3 A/B)
+    import imtag_spark.operators.pagerank as pr_mod
+
+    rng = np.random.default_rng(43)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 50, size=(240, 2)) if a != b})
+    e = edges_df(spark, pairs)
+    j = {r.vertex: r.rank for r in pagerank(e, tol=0.0, max_iter=8, mode="join").collect()}
+    m: dict = {}
+    a = {r.vertex: r.rank for r in pagerank(
+        e, tol=0.0, max_iter=8, mode="auto", metrics_out=m).collect()}
+    assert m["mode"] == "broadcast_join"
+    assert set(a) == set(j)
+    for v in j:
+        assert abs(j[v] - a[v]) <= 1e-12 * max(1.0, abs(j[v]))
+    monkeypatch.setattr(pr_mod, "BROADCAST_VERTEX_LIMIT", 0)
+    m2: dict = {}
+    pagerank(e, tol=0.0, max_iter=2, mode="auto", metrics_out=m2).count()
+    assert m2["mode"] == "join"
+
+
 def test_pagerank_broadcast_join_superstep_never_exchanges_edges(spark):
     # the whole point of the mode: the E-row transitions side is cached
     # hash(dst)-partitioned, the ranks side arrives via BroadcastExchange,
