@@ -225,12 +225,18 @@ def main() -> None:
                     out[metric] = {"best": vals[-1], "median": med,
                                    "n": len(vals)}
             return out
-        uniform = [r for k, r in runs.items()
-                   if k.startswith("8to32") and not r.get("skew")]
-        skewed = [r for k, r in runs.items()
-                  if k.startswith("8to32") and r.get("skew")]
-        result["scaling_8to32"] = {"uniform": summarize(uniform),
-                                   "skew": summarize(skewed)}
+        pairings = sorted({k.split("_")[0] for k in runs})
+        for pairing in pairings:
+            uniform = [r for k, r in runs.items()
+                       if k.split("_")[0] == pairing and not r.get("skew")]
+            skewed = [r for k, r in runs.items()
+                      if k.split("_")[0] == pairing and r.get("skew")]
+            entry = {}
+            if uniform:
+                entry["uniform"] = summarize(uniform)
+            if skewed:
+                entry["skew"] = summarize(skewed)
+            result[f"scaling_{pairing}"] = entry
     print(json.dumps(result))
 
 

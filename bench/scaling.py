@@ -56,9 +56,18 @@ def main() -> None:
     def eff(key: str) -> float:
         return round(levels[n_hi][key] / levels[n_lo][key] / ratio, 3)
 
+    try:
+        engine = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except OSError:
+        engine = None
+
     result = {
         "n_edges": levels[n_hi]["n_edges"],
         "skew": skew,
+        "engine_commit": engine,
         "levels": levels,
         "scaling_efficiency": {
             "pagerank": eff("eps_pagerank"),
