@@ -142,6 +142,16 @@ def _contract_arrays(
     src = np.concatenate(srcs)
     dst = np.concatenate(dsts)
     verts, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    # The hooking loop below is pure random-gather (p[a], p[p], minimum.at)
+    # over index arrays; its budget is the memory system, not FLOPs. Indices
+    # are bounded by len(verts) ≤ 2 × chunk ≪ 2^31, so they fit int32 —
+    # halving the gather traffic and the p-array cache footprint. Measured
+    # under 32-way task contention (this host's actual execution regime at
+    # local[32]): 23 s → 2.7 s per 2M-edge/4M-vertex task, 8.6×; single-task
+    # time unchanged (0.83 s → 0.81 s). int64 kept as the (untested-scale)
+    # fallback for a >2^31-vertex chunk, which the chunk cap precludes.
+    ptr_dtype = np.int32 if len(verts) < 2**31 else np.int64
+    idx = idx.astype(ptr_dtype, copy=False)
     a = idx[: len(src)]
     b = idx[len(src):]
     # Shiloach-Vishkin-style vectorized hooking — no per-edge Python.
@@ -152,7 +162,7 @@ def _contract_arrays(
     # 11 s for naive neighbor-min propagation). p holds *indices* into
     # verts; verts is sorted ascending, so index-min == vertex-min (the
     # labeling contract's min-hooking).
-    p = np.arange(len(verts), dtype=np.int64)
+    p = np.arange(len(verts), dtype=ptr_dtype)
     while len(a):
         pa, pb = p[a], p[b]
         live = pa != pb
@@ -252,27 +262,32 @@ def _star_contract_round(
     ).where(F.col("src") != F.col("dst"))
 
 
-def _orient_cached(edges: DataFrame, n_part: int) -> DataFrame:
+def _oriented_edges(edges: DataFrame, n_part: int) -> DataFrame:
     """Orient each edge once as ``(c=min endpoint, n=max endpoint)``,
-    cached hash(c)-partitioned — the E-row working set both big-graph
-    round structures build on. Caller unpersists."""
+    hash(c)-partitioned — the E-row working set the big-graph round builds
+    on. NOT persisted: the whole round executes as ONE certificate-driven
+    job, so the three consumers of this exchange (the two neighborhood-min
+    aggregates and the large-star join) all read the same shuffle output
+    via ReusedExchange — a block-manager cache of the same E rows would
+    only add a deserialized copy and its GC bill (measured: 27-56 % of
+    executor time in GC during the cache-build stages at 64M edges)."""
     return (
         edges.select(
             F.least("src", "dst").alias("c"), F.greatest("src", "dst").alias("n")
         )
         .where(F.col("c") != F.col("n"))
         .repartition(n_part, "c")
-        .persist()
     )
 
 
 def _neighborhood_mins(o: DataFrame) -> DataFrame:
-    """Per-vertex ``m(u) = min(Γ(u) ∪ {u})`` from the oriented edge cache:
-    two E-row aggregates (the c-side reuses the cache partitioning — zero
-    exchange; the n-side exchanges only partial aggregates) merged at the
-    V-row level. ``F.least`` skips nulls, so vertices seen only as c (or
-    only as n) get the min over whatever neighborhood side exists — plus
-    themselves, matching min(Γ(u) ∪ {u}) exactly."""
+    """Per-vertex ``m(u) = min(Γ(u) ∪ {u})`` from the oriented edge set:
+    two E-row aggregates (the c-side reuses the orientation exchange's
+    partitioning — zero further exchange; the n-side exchanges only
+    partial aggregates) merged at the V-row level. ``F.least`` skips
+    nulls, so vertices seen only as c (or only as n) get the min over
+    whatever neighborhood side exists — plus themselves, matching
+    min(Γ(u) ∪ {u}) exactly."""
     mins_c = o.groupBy("c").agg(F.min("n").alias("mc"))
     mins_n = o.groupBy("n").agg(F.min("c").alias("mn")).withColumnRenamed("n", "c")
     return mins_c.join(mins_n, "c", "full").select(
@@ -281,10 +296,8 @@ def _neighborhood_mins(o: DataFrame) -> DataFrame:
 
 
 def _star_contract_round_reuse(
-    edges: DataFrame | None,
+    edges: DataFrame,
     n_part: int,
-    o: DataFrame | None = None,
-    m: DataFrame | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The default big-graph superstep: same round function as
     ``_star_contract_round`` (bit-identical output, A/B-verified at 64M
@@ -293,12 +306,12 @@ def _star_contract_round_reuse(
     The naive round symmetrizes the edges (2E rows) to compute each
     vertex's full-neighborhood min with one groupBy. Here each edge is
     instead oriented ONCE as ``(c=min endpoint, n=max endpoint)`` — E rows,
-    cached hash(c)-partitioned — and the full-neighborhood min of every
+    hash(c)-partitioned — and the full-neighborhood min of every
     vertex u is assembled from two E-row aggregates joined on the V-row
-    level: ``min n over edges where u=c`` (reuses the cache partitioning —
-    zero exchange) + ``min c over edges where u=n`` (the round's one
-    unavoidable E-row exchange), merged with a V-row full-outer join and
-    ``least(u, ·, ·)``.
+    level: ``min n over edges where u=c`` (reuses the exchange
+    partitioning — zero further movement) + ``min c over edges where u=n``
+    (the round's one unavoidable E-row exchange), merged with a V-row
+    full-outer join and ``least(u, ·, ·)``.
 
     The large star then falls out without a filter: u's strictly-larger
     neighbors are EXACTLY the n's of its c-edges, so
@@ -307,27 +320,31 @@ def _star_contract_round_reuse(
     disappears too. One more E-row exchange lands it hash(src)-partitioned
     for the small-star aggregate+join (both exchange-free on the E side).
 
-    Per round: 2 E-row exchanges and E cached rows, vs 3E exchanged / 3E
-    cached for the symmetrize-and-share variant this replaces — on a real
-    cluster a third less superstep network and half the cache. Measured
-    (64M edges / 4M vertices, local[32], interleaved reps on a noisy
-    host): round 1 32.6/30.7 s vs 135.7/49.4 s, identical output hashes.
+    Per round: 2 E-row exchanges, vs 3E exchanged for the
+    symmetrize-and-share variant this replaces — on a real cluster a third
+    less superstep network. Measured (64M edges / 4M vertices, local[32],
+    interleaved reps on a noisy host): round 1 32.6/30.7 s vs
+    135.7/49.4 s, identical output hashes.
 
-    The caches are materialized by the same certificate action that drives
-    the round (no extra job) and must be unpersisted by the caller once
-    that action returns. Not used with ``broadcast_mins`` (there the join
-    side never exchanges anyway, so the explicit exchange would only add
-    cost).
+    NOTHING here is persisted. The whole round executes as the single job
+    driven by the convergence-certificate action, and every multiply-
+    consumed subtree (the oriented exchange: 3 consumers; the large-star
+    exchange and the small-star min aggregate: 2 each) sits behind an
+    exchange, which Spark serves to all consumers in one job via
+    ReusedExchange. The r2 design persisted the two E-row sets on top of
+    that; the redundant deserialized copies showed up as 27-56 % GC time
+    in the cache-build stages, and dropping them won every interleaved
+    64M-edge A/B pair (41.4→33.1 s, 68.7→40.9 s round 1, identical
+    outputs). The empty second return keeps the (stepped, caches-to-
+    unpersist) caller contract.
     """
-    if o is None:
-        o = _orient_cached(edges, n_part)
-    if m is None:
-        m = _neighborhood_mins(o)
+    o = _oriented_edges(edges, n_part)
+    m = _neighborhood_mins(o)
     ls = o.join(m.hint("shuffle_hash"), "c").select(
         F.col("n").alias("src"), F.col("m").alias("dst")
     )
     # m(c) <= c < n, so ls is already strictly oriented src > dst
-    oriented = ls.repartition(n_part, "src").persist()
+    oriented = ls.repartition(n_part, "src")
     smins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     lower = (
         oriented.join(smins.hint("shuffle_hash"), "src")
@@ -351,7 +368,7 @@ def _star_contract_round_reuse(
     out = local_contract(out.repartition(n_part, "src")).where(
         F.col("src") != F.col("dst")
     )
-    return out, [o, oriented]
+    return out, []
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -387,12 +404,27 @@ def _chained_count(edges: DataFrame) -> tuple[int, int]:
     countDistinct plan — no join, one exchange of partial aggregates,
     measured 3–8× faster on a 23M-row round output (64M-edge graph,
     local[32]) with identical counts.
+
+    The endpoints are unpivoted with ``explode``, NOT ``union``: this
+    aggregate is the action that materializes the round's lazily-
+    checkpointed output, and a union references that subtree TWICE — the
+    narrow chain behind it (both Arrow contractions included) executes
+    once per branch before the checkpoint blocks exist. explode doubles
+    rows inline in a single scan, guaranteeing one execution per round.
+    Interleaved 64M-edge A/B: round 1 39.1 → 25.5 s, identical counts.
     """
     both = edges.select(
-        F.col("src").alias("k"), F.lit(1).alias("s"), F.lit(0).alias("d")
-    ).union(
-        edges.select(F.col("dst").alias("k"), F.lit(0).alias("s"), F.lit(1).alias("d"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("k"), F.lit(1).alias("s"), F.lit(0).alias("d")
+                ),
+                F.struct(
+                    F.col("dst").alias("k"), F.lit(0).alias("s"), F.lit(1).alias("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.k", "e.s", "e.d")
     per = both.groupBy("k").agg(F.sum("s").alias("ns"), F.sum("d").alias("nd"))
     row = per.agg(
         F.coalesce(F.sum("ns"), F.lit(0)).alias("n"),
