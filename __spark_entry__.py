@@ -276,6 +276,22 @@ _STREAM_QUERY_SEQ = [0]
 _STREAM_STAGE_DIRS: dict[str, str] = {}
 
 
+def _cleanup_stream_stage_dirs() -> None:
+    # the mkdtemp stages live for the process (the stream source may re-list
+    # them across gate queries); remove them on exit so repeated gate runs
+    # don't leak one temp dir + symlink per (process, sf_dir)
+    import shutil
+
+    for stage in _STREAM_STAGE_DIRS.values():
+        shutil.rmtree(stage, ignore_errors=True)
+    _STREAM_STAGE_DIRS.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_stream_stage_dirs)
+
+
 def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 Structured Streaming at the gate: drain the events table
     through the incremental watermarked-window plan (readStream →

@@ -211,6 +211,28 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             runs = json.load(f)
+        # Only samples that measured THE CURRENT ENGINE: BENCH_SCALING.json
+        # is append-only across rounds, and mixing eras (e.g. r2-engine
+        # 8->32 CC 0.30-0.49 with the restructured engine's 0.55-0.60)
+        # makes the printed medians describe nobody. Samples are stamped
+        # with a content hash of the engine files (bench/scaling.py); older
+        # unstamped samples are excluded once any stamped ones exist.
+        sys.path.insert(0, os.path.join(here, "bench"))
+        from engine_fingerprint import engine_hash  # noqa: E402
+        current = engine_hash()
+        matching = {k: r for k, r in runs.items()
+                    if r.get("engine_hash") == current}
+        if matching:
+            runs = matching
+        result["scaling_engine"] = {
+            "engine_hash": current,
+            "samples_current_engine": len(matching),
+            "samples_total": len(json.load(open(scaling_path))),
+            # stamp the commits the summarized group covers (ADVICE r3)
+            "commits": sorted({r.get("engine_commit") or "?"
+                               for r in runs.values()}),
+            "filtered": bool(matching),
+        }
         def summarize(pairs):
             out = {}
             for metric in ("cc", "pagerank_min", "pagerank_steady"):

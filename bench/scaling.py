@@ -20,6 +20,9 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+sys.path.insert(0, HERE)
+
+from engine_fingerprint import engine_hash  # noqa: E402
 
 
 def run_level(cpus: int, n_edges: int, n_vertices: int, skew: bool) -> dict:
@@ -68,6 +71,9 @@ def main() -> None:
         "n_edges": levels[n_hi]["n_edges"],
         "skew": skew,
         "engine_commit": engine,
+        # content hash of the engine files this sample measured — summaries
+        # group/filter by it so eras never mix (see engine_fingerprint.py)
+        "engine_hash": engine_hash(),
         "levels": levels,
         "scaling_efficiency": {
             "pagerank": eff("eps_pagerank"),

@@ -70,13 +70,20 @@ def main() -> None:
     # samples 4/5 show 16-27 s outlier supersteps at local[32] that a
     # cross-rep min removes).
     REPS = int(os.environ.get("SCALING_REPS", "3"))
+    # pagerank() is called with its signature default mode — since r4 that
+    # is "auto" (broadcast_join inside the V gate), i.e. the harness times
+    # the plan a naive caller actually gets. r3 and earlier samples timed
+    # the then-default "join" mode; the recorded pagerank_mode field (and
+    # engine_hash in bench/scaling.py) keeps the eras separable.
     pr_reps: list[list[float]] = []
+    pr_mode = None
     for _ in range(REPS):
         pr_m: dict = {}
         pagerank(
             edges, directed=True, tol=0.0, max_iter=10, metrics_out=pr_m
         ).count()
         pr_reps.append(pr_m["superstep_times"])
+        pr_mode = pr_m.get("mode")
     n_steps = min(len(r) for r in pr_reps)
     pr_min_by_step = [min(r[i] for r in pr_reps) for i in range(n_steps)]
     # One UNTIMED warmup solve before the timed repetitions: the first CC
@@ -114,6 +121,7 @@ def main() -> None:
                 "n_edges": m,
                 "skew": skew,
                 "reps": REPS,
+                "pagerank_mode": pr_mode,
                 "pagerank_superstep_times": [round(t, 3) for t in pr_times],
                 "pagerank_superstep_times_reps": [
                     [round(t, 3) for t in r] for r in pr_reps

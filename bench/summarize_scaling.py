@@ -7,8 +7,12 @@ This reads every sample in BENCH_SCALING.json and prints one row per
 so the claim is reproducible from the stored evidence with one command.
 
 Usage: python bench/summarize_scaling.py [--engine-commit PREFIX ...]
+                                         [--current-engine]
   --engine-commit limits rows to samples stamped with one of the given
   engine commits (e.g. the commits of the round under judgment).
+  --current-engine limits rows to samples whose engine_hash matches the
+  working tree's engine files (see engine_fingerprint.py) — the filter
+  bench.py's inline summary applies.
 """
 
 from __future__ import annotations
@@ -17,7 +21,9 @@ import json
 import os
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, HERE)
 
 METRICS = [
     ("pagerank_steady", "PageRank steady-state"),
@@ -35,11 +41,17 @@ def median(vals: list[float]) -> float:
 
 def main() -> None:
     commits: list[str] = []
+    want_hash: str | None = None
     args = sys.argv[1:]
     while args:
         if args[0] == "--engine-commit":
             commits.append(args[1])
             args = args[2:]
+        elif args[0] == "--current-engine":
+            from engine_fingerprint import engine_hash
+
+            want_hash = engine_hash()
+            args = args[1:]
         else:
             raise SystemExit(f"unknown arg: {args[0]}")
 
@@ -51,6 +63,8 @@ def main() -> None:
         if commits and not any(
             str(run.get("engine_commit", "")).startswith(c) for c in commits
         ):
+            continue
+        if want_hash is not None and run.get("engine_hash") != want_hash:
             continue
         pairing = key.split("_")[0]
         groups.setdefault((pairing, bool(run.get("skew"))), {})[key] = run

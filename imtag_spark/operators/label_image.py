@@ -22,7 +22,11 @@ def labeled_cells(runs: DataFrame, labels: DataFrame, label_col: str = "dense_la
     """
     lab = labels.select(F.col("vertex").alias("id"), F.col(label_col).alias("label"))
     return (
-        runs.join(lab, "id")
+        # guard degenerate empty runs (col_end == col_begin): sequence()
+        # would generate a DESCENDING 2-element range there, inventing
+        # phantom cells instead of none
+        runs.where(F.col("col_end") > F.col("col_begin"))
+        .join(lab, "id")
         .select(
             "row",
             F.explode(F.sequence(F.col("col_begin"), F.col("col_end") - 1)).alias("col"),
@@ -35,13 +39,17 @@ def mask_cells(runs: DataFrame) -> DataFrame:
     """S6 ``to_mask_image`` analog (/root/reference/src/morphology.cpp:95-99
     via the maskmode template flag at :20-21): re-densify runs to foreground
     cells, dropping labels — every cell carries the constant 0xFF. The
-    ``sequence``+``explode`` densification is JVM-side (no UDF)."""
-    return runs.select(
+    ``sequence``+``explode`` densification is JVM-side (no UDF). A
+    degenerate empty run (col_end == col_begin) would make ``sequence``
+    emit a DESCENDING 2-element range — phantom foreground — so those are
+    filtered; the mask is BIGINT to match the declared sink type directly
+    rather than relying on a caller-side cast."""
+    return runs.where(F.col("col_end") > F.col("col_begin")).select(
         "row",
         F.explode(
             F.sequence(F.col("col_begin"), F.col("col_end") - 1)
         ).alias("col"),
-        F.lit(255).alias("mask"),
+        F.lit(255).cast("bigint").alias("mask"),
     )
 
 

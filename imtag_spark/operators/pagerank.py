@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from imtag_spark.plans.checkpoint import free_local_checkpoint
+
 #: auto mode takes the broadcast_join path at or below this vertex count
 #: (per-superstep rank broadcast ≈ 16B × V per executor — 320 MB at the
 #: threshold); the CSR ``broadcast`` mode shares the gate when requested
@@ -49,7 +51,7 @@ def pagerank(
     checkpoint_every: int = 5,
     verbose: bool = False,
     metrics_out: dict | None = None,
-    mode: str = "join",
+    mode: str = "auto",
 ) -> DataFrame:
     """Edge table (src, dst) → ranks (vertex, rank). Ranks sum to 1.
 
@@ -81,8 +83,9 @@ def pagerank(
       fits a broadcast; above that the per-superstep Arrow transit of the
       E-row tiles loses to the join path (measured: 2x slower at 64M
       edges). No checkpointer support (driver holds the V-sized state).
-    - ``"auto"`` — ``broadcast_join`` when V ≤ BROADCAST_VERTEX_LIMIT,
-      else ``join``. Chosen from the r3 interleaved A/B (BENCH.md): the
+    - ``"auto"`` (the default since r4) — ``broadcast_join`` when
+      V ≤ BROADCAST_VERTEX_LIMIT, else ``join``. Chosen from the r3
+      interleaved A/B (BENCH.md): the
       broadcast-join superstep beat the join superstep at every measured
       size (8/16/64M transition rows; 64M steady-state 21.4M vs 17.7M
       edges/s), it is checkpointer-safe, and the gate needs no extra
@@ -183,8 +186,15 @@ def pagerank(
     dangling = (
         ranks.where(~F.col("has_out")).agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
     ).collect()[0][0]
+    # ranks (which embeds the dangling flags) is materialized — the setup
+    # vertex-universe checkpoint has no further reader
+    free_local_checkpoint(vertices)
 
     base = (1.0 - alpha) / n
+    # handle to the live frontier's bare localCheckpoint — freed as soon as
+    # the next round materializes (keeps block-manager storage flat across
+    # long runs instead of hoarding one superseded rank copy per round)
+    prev_ck = ranks
     for it in range(max_iter):
         t0 = time.time()
         ranks_side = ranks.select(F.col("vertex").alias("src"), "rank")
@@ -227,6 +237,10 @@ def pagerank(
             ).alias("dangling"),
         ).collect()[0]
         delta, dangling = float(row["delta"]), float(row["dangling"])
+        # the fused agg materialized this round's checkpoint — the previous
+        # round's rank blocks are dead; release them now
+        free_local_checkpoint(prev_ck)
+        prev_ck = new_ranks  # the bare checkpoint handle (pre-drop)
         # Durable checkpoint WITHOUT the transient r0 column (it would
         # inflate the frontier parquet ~33% and drift the resume schema);
         # the drop is a projection over the already-materialized

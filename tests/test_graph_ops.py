@@ -248,9 +248,14 @@ def test_pagerank_broadcast_join_superstep_never_exchanges_edges(spark):
     # everything above it: final agg <- partial agg <- project <-
     # broadcast join <- cache scan, and none of that may exchange
     superstep = plan.splitlines()
-    superstep = superstep[: next(
-        i for i, ln in enumerate(superstep) if "InMemoryRelation" in ln
-    )]
+    cache_at = next(
+        (i for i, ln in enumerate(superstep) if "InMemoryRelation" in ln), None
+    )
+    assert cache_at is not None, (
+        "plan no longer prints the cached transitions as an InMemoryRelation "
+        "subtree — update the superstep/build split:\n" + plan
+    )
+    superstep = superstep[:cache_at]
     shuffle_exchanges = [
         ln for ln in superstep
         if "Exchange" in ln and "BroadcastExchange" not in ln
