@@ -35,6 +35,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from imtag_spark.plans.checkpoint import free_local_checkpoint
+
 EDGE_SCHEMA = "src BIGINT, dst BIGINT"
 
 
@@ -594,6 +596,11 @@ def connected_components(
         n_edges, chained = _chained_count(stepped)
         for c in round_caches:
             c.unpersist()
+        # the certificate materialized this round's checkpoint — the
+        # previous round's frontier blocks are dead from here on; release
+        # them now instead of waiting for driver GC (r3 stage metrics
+        # showed the superseded copies accumulating across long runs)
+        free_local_checkpoint(work)
         n_work = n_edges  # next round's reuse gate, free off the certificate
         if verbose:
             print(
@@ -622,4 +629,6 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     universe.unpersist()
+    # the labels are materialized — the terminal star forest is dead too
+    free_local_checkpoint(work)
     return out

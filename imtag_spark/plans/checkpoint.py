@@ -18,6 +18,59 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def free_local_checkpoint(df: DataFrame | None) -> None:
+    """Release the block-manager blocks behind a materialized
+    ``localCheckpoint`` DataFrame.
+
+    Iterative loops re-checkpoint their frontier every round; the
+    superseded rounds' blocks otherwise live until the driver GCs the py4j
+    proxies (ContextCleaner runs off JVM weak references), so a 50-round
+    high-diameter job hoards ~50 frontier copies in the block manager
+    (visible as monotone storage-memory growth in stage metrics). Freeing
+    round k−1 the moment round k is materialized keeps storage flat.
+
+    ONLY call this on a frontier that nothing will read again — the blocks
+    ARE the data (lineage was truncated), so a later action on the freed
+    DataFrame fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Silently skips
+    DataFrames that are not bare local checkpoints (parquet-backed resume
+    frontiers, projections, raw inputs): their analyzed plan is not a
+    ``LogicalRDD``.
+    """
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            _quiet_unpersist_warning(df.sparkSession)
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # cleanup must never break the solve (e.g. plan API drift)
+
+
+_UNPERSIST_LOGGER_QUIETED = False
+
+
+def _quiet_unpersist_warning(spark: SparkSession) -> None:
+    """Silence Spark's per-unpersist 'lineage has been truncated and cannot
+    be recomputed' WARN for locally-checkpointed RDDs — here the
+    non-recomputability is exactly the point (the frontier is dead by
+    construction), and the message would otherwise repeat once per freed
+    round in the driver log. Scoped to the one emitting logger; every other
+    warning is untouched."""
+    global _UNPERSIST_LOGGER_QUIETED
+    if _UNPERSIST_LOGGER_QUIETED:
+        return
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+        _UNPERSIST_LOGGER_QUIETED = True
+    except Exception:
+        _UNPERSIST_LOGGER_QUIETED = True  # cosmetic only — never retry-loop
+
+
 class SuperstepCheckpointer:
     """Parquet frontier checkpoints + manifest for iterative graph jobs."""
 
