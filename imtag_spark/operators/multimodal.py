@@ -104,14 +104,138 @@ def decode_blob_meta(
     return df.select(id_col, bin_col).mapInPandas(parse, schema=BLOB_META_SCHEMA)
 
 
-def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "blob") -> DataFrame:
-    """Real image decode — requires a codec library this container lacks."""
-    if Image is None:
+IMAGE_SCHEMA = "id BIGINT, width INT, height INT, channels INT, pixels BINARY"
+
+
+def _decode_pnm(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-NumPy binary PPM (P6, RGB) / PGM (P5, gray) decoder.
+
+    Netpbm is the classic uncompressed interchange format: ASCII header
+    (magic, width, height, maxval; ``#`` comments allowed) then raw
+    big-endian samples. maxval ≤ 255 only (8-bit), which is what the
+    fixture encoder emits.
+    """
+    channels = 3 if raw[:2] == b"P6" else 1
+    # tokenize the header: whitespace-separated fields, '#' to EOL is comment
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(raw) and raw[i : i + 1].isspace():
+            i += 1
+        if raw[i : i + 1] == b"#":
+            while i < len(raw) and raw[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(raw) and not raw[j : j + 1].isspace():
+            j += 1
+        fields.append(int(raw[i:j]))
+        i = j
+    i += 1  # single whitespace byte after maxval, then raw samples
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported by the fallback decoder")
+    n = w * h * channels
+    px = np.frombuffer(raw, dtype=np.uint8, count=n, offset=i)
+    return w, h, channels, px.tobytes()
+
+
+def _decode_bmp(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-NumPy uncompressed 24-bit BITMAPINFOHEADER BMP decoder.
+
+    Rows are 4-byte aligned and stored bottom-up (top-down when the height
+    field is negative), samples BGR; output is row-major RGB.
+    """
+    if len(raw) < 54:
+        raise NotImplementedError("truncated BMP header")
+    offset = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size = struct.unpack_from("<I", raw, 14)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    planes, bpp = struct.unpack_from("<HH", raw, 26)
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "real image decode needs PIL/libvips (not in this container); "
-            "use decode_blob_meta for the plumbing path"
+            f"fallback BMP decoder handles uncompressed 24-bit only "
+            f"(got bpp={bpp}, compression={compression})"
         )
-    raise NotImplementedError("real codec path intentionally unimplemented here")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, 3, rows[..., ::-1].tobytes()  # BGR → RGB
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM bytes (fixtures/tests)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → uncompressed 24-bit bottom-up BMP bytes (fixtures/tests)."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "blob") -> DataFrame:
+    """Decode image blobs to raw row-major pixel bytes + dims.
+
+    Codec resolution per blob, inside the Arrow batch kernel:
+    - PIL, when importable (not in this container), handles any format;
+    - otherwise a pure-NumPy fallback decodes binary PPM/PGM (``P6``/``P5``)
+      and uncompressed 24-bit BMP — the classic raw interchange formats —
+      so the decode kernel is executable end-to-end even codec-less;
+    - anything else raises ``NotImplementedError`` naming the magic bytes
+      (honest gate: no silent skips of undecodable training data).
+
+    Output ``pixels`` is the raw interleaved uint8 buffer (h×w×channels,
+    row-major RGB or gray) — the shape every downstream kernel (resize,
+    patching, feature extraction) consumes without re-parsing.
+    """
+
+    def decode_one(raw: bytes) -> tuple[int, int, int, bytes]:
+        if Image is not None:  # pragma: no cover - PIL absent in container
+            import io
+
+            img = Image.open(io.BytesIO(raw))
+            arr = np.asarray(img)
+            c = 1 if arr.ndim == 2 else arr.shape[2]
+            return img.width, img.height, c, arr.tobytes()
+        if raw[:2] in (b"P6", b"P5"):
+            return _decode_pnm(raw)
+        if raw[:2] == b"BM":
+            return _decode_bmp(raw)
+        raise NotImplementedError(
+            f"no decoder for blob with magic {raw[:4]!r}: PIL is not "
+            "installed and the NumPy fallback handles PPM/PGM/BMP only"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = [decode_one(bytes(blob)) for blob in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "width": np.array([o[0] for o in out], dtype=np.int32),
+                    "height": np.array([o[1] for o in out], dtype=np.int32),
+                    "channels": np.array([o[2] for o in out], dtype=np.int32),
+                    "pixels": [o[3] for o in out],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema=IMAGE_SCHEMA)
 
 
 def frame_sample(

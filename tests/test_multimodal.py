@@ -48,9 +48,49 @@ def test_decode_blob_meta_header_fields(spark, blobs):
     assert out[3]["width"] == 0 and out[3]["payload_bytes"] == len(b"not-a-blob")
 
 
-def test_real_decode_is_gated(spark, blobs):
-    with pytest.raises(NotImplementedError):
-        decode_image(blobs)
+def test_unsupported_codec_decode_is_gated(spark, blobs):
+    # the IMTB fake container is not a decodable image format: the kernel
+    # must raise (naming the magic bytes) at action time, never silently
+    # skip undecodable blobs
+    from imtag_spark.operators.multimodal import decode_image
+
+    with pytest.raises(Exception, match="no decoder"):
+        decode_image(blobs).collect()
+
+
+def test_decode_image_ppm_bmp_roundtrip(spark):
+    # the pure-NumPy fallback decoders execute the decode kernel end-to-end
+    # in-container (no PIL): encode a deterministic image as PPM and BMP,
+    # run the Spark decode, and require exact pixel equality
+    import numpy as np
+
+    from imtag_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    pgm = b"P5\n# comment line\n9 5\n255\n" + gray.tobytes()
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_ppm(img))),
+            (1, bytearray(encode_bmp(img))),
+            (2, bytearray(pgm)),
+        ],
+        "id BIGINT, blob BINARY",
+    )
+    out = {r["id"]: r for r in decode_image(df).collect()}
+    for i in (0, 1):
+        assert (out[i]["width"], out[i]["height"], out[i]["channels"]) == (21, 13, 3)
+        got = np.frombuffer(bytes(out[i]["pixels"]), dtype=np.uint8).reshape(13, 21, 3)
+        assert np.array_equal(got, img), f"pixel mismatch for blob {i}"
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (9, 5, 1)
+    assert np.array_equal(
+        np.frombuffer(bytes(out[2]["pixels"]), dtype=np.uint8).reshape(5, 9), gray
+    )
 
 
 def test_frame_sample(spark, blobs):
