@@ -134,6 +134,14 @@ def main() -> None:
                 "eps_pagerank_steady": eps(pr_steady),
                 "eps_pagerank_min": round(m / min(pr_times), 1),
                 "eps_cc": eps(cc_min_times),
+                # convergence throughput (edges / TOTAL time to converge):
+                # the per-superstep mean above penalizes dropping cheap
+                # rounds (r4 converges in 2 rounds instead of 3, so the
+                # mean loses its cheapest member while wall time falls);
+                # this figure is the one a user's job actually feels
+                "eps_cc_conv": (
+                    round(m / sum(cc_min_times), 1) if cc_min_times else None
+                ),
             }
         )
     )

@@ -58,6 +58,17 @@ LOCAL_CONTRACT_CHUNK = 8_000_000
 #: the whole graph is one union-find pass and converges in one round)
 SMALL_GRAPH_EDGE_LIMIT = LOCAL_CONTRACT_CHUNK // 2
 
+#: frontier-row bound for the adaptive one-task funnel in the solve loop.
+#: Deliberately far below LOCAL_CONTRACT_CHUNK: the funnel is a SERIAL
+#: tail (one task), so its time must stay under the distributed round's
+#: fixed scheduling floor (~2-3 s) or it becomes the Amdahl term that
+#: caps N→4N scaling — measured at a 4.0M-row frontier the funnel costs
+#: ~6 s at ANY parallelism level (transit + single union-find), barely
+#: beating the distributed round at local[32] (7.5 s) while flattening
+#: the core-count response entirely. At ≤1M rows (~16 MB) the single
+#: pass runs well under the floor and the funnel is a pure win.
+FUNNEL_EDGE_LIMIT = 1_000_000
+
 #: vertex-count bound under which the per-round V-row min-aggregates are
 #: broadcast instead of shuffle-hash-joined, so the E-row side never
 #: exchanges inside a superstep. Broadcast costs O(V × executors) network
@@ -73,7 +84,9 @@ CC_BROADCAST_VERTEX_LIMIT = 20_000_000
 #: rows (64M edges round 1: 39.3 s flat → 30.7 s oriented, and 2 E-row
 #: exchanges instead of the flat round's 4). The count is free: round 1
 #: reads it off the init lineage-truncation job, later rounds off the
-#: convergence certificate.
+#: convergence certificate. Rounds at or below FUNNEL_EDGE_LIMIT are
+#: caught by the one-task funnel first; this bound routes the band in
+#: between to the flat star round.
 REUSE_EDGE_LIMIT = 2_000_000
 
 
@@ -301,9 +314,10 @@ def _star_contract_round_reuse(
     edges: DataFrame,
     n_part: int,
 ) -> tuple[DataFrame, list[DataFrame]]:
-    """The default big-graph superstep: same round function as
-    ``_star_contract_round`` (bit-identical output, A/B-verified at 64M
-    edges), restructured so no symmetrized 2E-row set ever exists.
+    """The default big-graph superstep: large star → partition-local
+    union-find over its hash(src)-partitioned output → hash(src)
+    re-contraction. Same label output as ``_star_contract_round``
+    (fingerprint-verified at 2M and 64M edges, bench/cc_round_lab.py).
 
     The naive round symmetrizes the edges (2E rows) to compute each
     vertex's full-neighborhood min with one groupBy. Here each edge is
@@ -318,27 +332,44 @@ def _star_contract_round_reuse(
     The large star then falls out without a filter: u's strictly-larger
     neighbors are EXACTLY the n's of its c-edges, so
     ``o ⋈ m on c → (n, m(c))`` is the whole large-star output, already
-    oriented src>dst — the small star's greatest/least normalization
-    disappears too. One more E-row exchange lands it hash(src)-partitioned
-    for the small-star aggregate+join (both exchange-free on the E side).
+    oriented src>dst. One more E-row exchange lands it
+    hash(src)-partitioned for the union-find contraction.
 
-    Per round: 2 E-row exchanges, vs 3E exchanged for the
-    symmetrize-and-share variant this replaces — on a real cluster a third
-    less superstep network. Measured (64M edges / 4M vertices, local[32],
-    interleaved reps on a noisy host): round 1 32.6/30.7 s vs
-    135.7/49.4 s, identical output hashes.
+    NO SMALL-STAR STAGE (removed in r4): with the large-star output
+    hash(src)-partitioned, every vertex u's rows ``(u → m(c_i))`` are
+    co-located, so the partition-local union-find performs EXACTLY the
+    unions the small star's aggregate+join would encode — {u} ∪ {its m's}
+    into one component per u, chained across u's sharing a vertex — making
+    the small star a pure pre-processing cost: one hash-aggregate pass +
+    one shuffle-hash join probe over E rows per round. Worse, the
+    ``lower ∪ smins`` union CONCATENATED the two partition lists, so the
+    contraction actually saw the smins rows SEPARATED from their lower
+    rows (more partition-spread duplication, not less). Interleaved A/B
+    at 64M edges / 4M vertices, local[32], per-round min over 3 reps
+    (bench/cc_round_lab.py, identical final label fingerprints): round 1
+    26.9 → 16.8 s, round-1 output rows 4,316,748 → 4,000,121. The
+    single-contraction variant (fold both contractions into one
+    hash(src)-partitioned pass) was also measured and REJECTED: without
+    the first narrow contraction the exchange carries the raw large-star
+    rows and the output keeps 15.4M duplicated pointer rows (round 1
+    16.7–89 s, round 2 ~21 s).
+
+    Per round: 2 E-row exchanges (orientation; large-star output), one
+    narrow contraction, one contracted-row exchange (≈V rows) feeding the
+    dedup contraction. Skew-safe: hash(src) over post-contraction pointer
+    rows is ≤ partition-spread per vertex, not degree — a hub's million
+    neighbors each carry their OWN src key.
 
     NOTHING here is persisted. The whole round executes as the single job
     driven by the convergence-certificate action, and every multiply-
     consumed subtree (the oriented exchange: 3 consumers; the large-star
-    exchange and the small-star min aggregate: 2 each) sits behind an
-    exchange, which Spark serves to all consumers in one job via
-    ReusedExchange. The r2 design persisted the two E-row sets on top of
-    that; the redundant deserialized copies showed up as 27-56 % GC time
-    in the cache-build stages, and dropping them won every interleaved
-    64M-edge A/B pair (41.4→33.1 s, 68.7→40.9 s round 1, identical
-    outputs). The empty second return keeps the (stepped, caches-to-
-    unpersist) caller contract.
+    exchange: 1) sits behind an exchange, which Spark serves to all
+    consumers in one job via ReusedExchange. The r2 design persisted the
+    E-row sets on top of that; the redundant deserialized copies showed up
+    as 27-56 % GC time in the cache-build stages, and dropping them won
+    every interleaved 64M-edge A/B pair (41.4→33.1 s, 68.7→40.9 s round 1,
+    identical outputs). The empty second return keeps the (stepped,
+    caches-to-unpersist) caller contract.
     """
     o = _oriented_edges(edges, n_part)
     m = _neighborhood_mins(o)
@@ -347,26 +378,14 @@ def _star_contract_round_reuse(
     )
     # m(c) <= c < n, so ls is already strictly oriented src > dst
     oriented = ls.repartition(n_part, "src")
-    smins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    lower = (
-        oriented.join(smins.hint("shuffle_hash"), "src")
-        .where(F.col("dst") != F.col("m"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    )
-    ss = lower.union(smins.select("src", F.col("m").alias("dst")))
-    out = local_contract(ss).where(F.col("src") != F.col("dst"))
+    out = local_contract(oriented).where(F.col("src") != F.col("dst"))
     # Second, hash(src)-partitioned contraction: the first pass contracts
-    # within whatever partitions the small star produced, so a vertex
-    # seen by k partitions emits k pointer rows (measured 64M edges / 4M
-    # vertices: 23.2M rows out — 5.8× duplication), and EVERY downstream
-    # cost (certificate aggregate, next round's exchanges and transits)
-    # is row-proportional. One exchange of the already-contracted rows
-    # co-locates each vertex's pointers and the second union-find fuses
-    # them (→ 4.34M rows). Interleaved A/B, rep-min over 3, local[32]:
-    # round 1 32.2 → 29.0 s (the dedup pays for its own exchange inside
-    # the round) and round 2 falls 20.8 → 6.3 s. Skew-safe: hash(src)
-    # over post-contraction pointer rows is ≤ partition-spread per vertex,
-    # not degree — a hub's million neighbors each carry their OWN src key.
+    # within the large-star partitions, so a vertex seen by k partitions
+    # emits k pointer rows, and EVERY downstream cost (certificate
+    # aggregate, next round's exchanges and transits) is row-proportional.
+    # One exchange of the already-contracted rows co-locates each vertex's
+    # pointers and the second union-find fuses them (→ ~V rows; measured
+    # r3: 23.2M → 4.34M, round 2 20.8 → 6.3 s).
     out = local_contract(out.repartition(n_part, "src")).where(
         F.col("src") != F.col("dst")
     )
@@ -493,6 +512,12 @@ def connected_components(
     Still EXACT if the input is larger than one union-find chunk — the
     certificate loop keeps iterating until the forest is terminal — but
     then the single task is the bottleneck; never use it unbounded.
+    Without the hint, the loop reaches the same one-task pass ADAPTIVELY
+    (the frontier funnel) as soon as the measured row count drops to
+    FUNNEL_EDGE_LIMIT — round 1 included, since the init job counts the
+    input; the hint's remaining value is skipping that init job and
+    funneling graphs above the adaptive gate when the caller knows
+    better.
 
     ``broadcast_mins`` — broadcast the per-round V-row min-aggregates (and
     the certificate's src set) into the star joins so the E-row side never
@@ -576,6 +601,7 @@ def connected_components(
     for it in range(start_iter, max_iter):
         _t = _time.time()
         round_caches: list[DataFrame] = []
+        funneled = False
         if single_partition:
             # complete solve in one narrow pass (star rounds would only
             # add shuffles); terminal star forest after round 1 whenever
@@ -583,6 +609,21 @@ def connected_components(
             stepped = local_contract(work, chunk=_contract_chunk).where(
                 F.col("src") != F.col("dst")
             )
+        elif n_work is not None and n_work <= min(FUNNEL_EDGE_LIMIT, _contract_chunk):
+            # Frontier funnel: the measured frontier is small enough that a
+            # distributed round would be pure scheduling floor, and it fits
+            # ONE union-find chunk — so a single coalesced task solves the
+            # remainder in one pass (the adaptive form of
+            # ``single_partition``, gated on the exact row count the
+            # previous certificate already paid for), terminal immediately
+            # (root = component min over the whole frontier). The gate is
+            # intentionally far below the chunk cap: see FUNNEL_EDGE_LIMIT
+            # for the Amdahl analysis (a one-task round is a serial tail
+            # that must never become the N→4N scaling cap).
+            stepped = local_contract(
+                work.coalesce(1), chunk=_contract_chunk
+            ).where(F.col("src") != F.col("dst"))
+            funneled = True
         elif broadcast_mins or (n_work is not None and n_work < REUSE_EDGE_LIMIT):
             stepped = _star_contract_round(work, mins_broadcast=broadcast_mins)
         else:
@@ -593,7 +634,16 @@ def connected_components(
             # lazy: the convergence-certificate collect below materializes
             # the checkpoint, so each round costs exactly one Spark job
             stepped = stepped.localCheckpoint(eager=False)
-        n_edges, chained = _chained_count(stepped)
+        if funneled:
+            # the gate (n_work <= chunk) guarantees the ENTIRE frontier went
+            # through one union-find pass, whose output is a terminal star
+            # forest by construction (unique sorted vertices, root = global
+            # component min, full path compression) — the certificate would
+            # only re-verify that, over a single partition. A plain count
+            # materializes the checkpoint for a fraction of the cost.
+            n_edges, chained = stepped.count(), 0
+        else:
+            n_edges, chained = _chained_count(stepped)
         for c in round_caches:
             c.unpersist()
         # the certificate materialized this round's checkpoint — the

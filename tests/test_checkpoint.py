@@ -23,6 +23,12 @@ def _chain_edges(spark, n=5000):
     ).repartition(8)
 
 
+#: the r4 frontier funnel solves any sub-1M-row graph in one round, which
+#: would defeat these multi-superstep checkpoint scenarios; shrinking the
+#: union-find chunk (which also gates the funnel) keeps them multi-round
+MULTI_ROUND = {"_contract_chunk": 512}
+
+
 def _labels_dict(df):
     return {r["vertex"]: r["component"] for r in df.collect()}
 
@@ -31,7 +37,8 @@ def test_checkpointer_writes_manifest_and_metrics(spark, tmp_path):
     ckpt = SuperstepCheckpointer(spark, str(tmp_path / "cc"), keep_last=3)
     edges = _chain_edges(spark)
     labels = connected_components(
-        edges, checkpointer=ckpt, checkpoint_every=1, pre_contract=False
+        edges, checkpointer=ckpt, checkpoint_every=1, pre_contract=False,
+        **MULTI_ROUND,
     )
     got = _labels_dict(labels)
     assert set(got.values()) == {0}
@@ -51,7 +58,7 @@ def test_resume_after_kill_is_identical(spark, tmp_path):
     full = SuperstepCheckpointer(spark, root, keep_last=100)
     expected = _labels_dict(
         connected_components(edges, checkpointer=full, checkpoint_every=1,
-                             pre_contract=False)
+                             pre_contract=False, **MULTI_ROUND)
     )
     manifest = json.loads(full.manifest_path.read_text())
     last = manifest["last_step"]
@@ -69,7 +76,8 @@ def test_resume_after_kill_is_identical(spark, tmp_path):
     assert step == kill_at
     resumed = _labels_dict(
         connected_components(edges, checkpointer=resumed_ckpt,
-                             checkpoint_every=1, pre_contract=False)
+                             checkpoint_every=1, pre_contract=False,
+                             **MULTI_ROUND)
     )
     assert resumed == expected
 

@@ -309,3 +309,20 @@ def test_degrees(spark):
     e = edges_df(spark, [(1, 2), (2, 1), (2, 3), (3, 3)])
     got = {r.vertex: r.degree for r in degrees(e).collect()}
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_cc_frontier_funnel_solves_small_graph_in_one_round(spark):
+    # adaptive funnel (r4): the init job measures the edge count; anything
+    # that fits one union-find chunk is solved in ONE coalesced pass and
+    # certified terminal in the same round — no distributed star rounds
+    from imtag_spark.operators.cc import connected_components
+
+    edges = spark.range(3000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    ).repartition(8)
+    metrics: dict = {}
+    out = connected_components(edges, metrics_out=metrics)
+    assert metrics["supersteps"] == 1
+    rows = out.collect()
+    assert len(rows) == 3001
+    assert all(r["component"] == 0 for r in rows)  # one path, min id = 0

@@ -111,12 +111,14 @@ def test_cc_frees_superseded_frontier_blocks(spark):
 
     before = {rid for rid, _ in _live_cached_rdds(spark)}
     # a path long enough that the partition-local contraction cannot close
-    # it in one round — the loop must run >= 2 rounds to exercise the frees
+    # it in one round — the loop must run >= 2 rounds to exercise the
+    # frees. The union-find chunk is shrunk so the frontier funnel (which
+    # gates on it) cannot solve the whole graph in round 1.
     edges = spark.range(200_000).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
     metrics: dict = {}
-    out = connected_components(edges, metrics_out=metrics)
+    out = connected_components(edges, metrics_out=metrics, _contract_chunk=20_000)
     assert out.count() == 200_001
     assert metrics["supersteps"] >= 2  # multi-round, so frees actually ran
     new = [t for t in _live_cached_rdds(spark) if t[0] not in before]
