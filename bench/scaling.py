@@ -25,14 +25,18 @@ sys.path.insert(0, HERE)
 from engine_fingerprint import engine_hash  # noqa: E402
 
 
-def run_level(cpus: int, n_edges: int, n_vertices: int, skew: bool) -> dict:
+def run_level(
+    cpus: int, n_edges: int, n_vertices: int, skew: bool, n_part: int
+) -> dict:
     cmd = [
         sys.executable,
         os.path.join(HERE, "scaling_worker.py"),
         str(cpus),
         str(n_edges),
         str(n_vertices),
-    ] + (["skew"] if skew else [])
+        "skew" if skew else "uniform",
+        str(n_part),
+    ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3600, check=True
     )
@@ -48,10 +52,16 @@ def main() -> None:
         if len(sys.argv) > 4
         else (8, 32)
     )
+    # JOB-CONSTANT shuffle partitioning (r4): both levels run the identical
+    # physical job, sized for the high level (2 threads' worth of tasks per
+    # core there) — on a real cluster spark.sql.shuffle.partitions is a job
+    # config that does not change as executors scale. The pre-r4 protocol's
+    # cpus*2 made the levels run different work shapes (see scaling_worker).
+    n_part = n_hi * 2
     levels = {}
     for cpus in (n_lo, n_hi):
         t0 = time.time()
-        levels[cpus] = run_level(cpus, n_edges, n_vertices, skew)
+        levels[cpus] = run_level(cpus, n_edges, n_vertices, skew, n_part)
         levels[cpus]["wall_s"] = round(time.time() - t0, 1)
 
     ratio = n_hi / n_lo

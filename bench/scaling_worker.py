@@ -7,6 +7,17 @@ scalable), runs PageRank (fixed supersteps) and CC to convergence, prints
 one JSON line with per-superstep times.
 
 Usage: python bench/scaling_worker.py <cpus> [n_edges] [n_vertices] [skew]
+                                      [n_part]
+
+``n_part`` (r4): shuffle-partition count, IDENTICAL at both parallelism
+levels of a pairing (scaling.py passes 2 x the high level's cores). The
+pre-r4 protocol used cpus*2, which made the two levels run *different
+physical jobs* — partition count changes the partition-local union-find's
+working-set size and the pointer-duplication factor the second contraction
+must undo — so the N->4N ratio partly measured a work-shape change, not
+parallelism. On a real cluster spark.sql.shuffle.partitions is a job
+config sized for the data, held constant as executors scale; this flag
+reproduces that. Absent, falls back to cpus*2 (the pre-r4 protocol).
 """
 
 from __future__ import annotations
@@ -49,10 +60,11 @@ def main() -> None:
     n_edges = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     n_vertices = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
     skew = len(sys.argv) > 4 and sys.argv[4] == "skew"
+    n_part = int(sys.argv[5]) if len(sys.argv) > 5 else cpus * 2
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus * 2,
+        shuffle_partitions=n_part,
     )
     edges = synthetic_edges(spark, n_edges, n_vertices, skew).localCheckpoint(
         eager=True
@@ -121,6 +133,7 @@ def main() -> None:
                 "n_edges": m,
                 "skew": skew,
                 "reps": REPS,
+                "n_part": n_part,
                 "pagerank_mode": pr_mode,
                 "pagerank_superstep_times": [round(t, 3) for t in pr_times],
                 "pagerank_superstep_times_reps": [
