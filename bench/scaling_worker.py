@@ -61,13 +61,22 @@ def main() -> None:
     n_vertices = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
     skew = len(sys.argv) > 4 and sys.argv[4] == "skew"
     n_part = int(sys.argv[5]) if len(sys.argv) > 5 else cpus * 2
+    # Protocol fairness (r4): cap the JVM's visible processor count at the
+    # level's core count. ``local[k]`` only bounds TASK threads — GC, JIT,
+    # and pool threads are sized from the host's 32 cores at EVERY level,
+    # so the low level was silently borrowing up to ~23 GC threads the
+    # high level's mutators had to fight for; a real k-core executor host
+    # reports k processors and sizes all of those from it.
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=n_part,
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}"
+        },
     )
     edges = synthetic_edges(spark, n_edges, n_vertices, skew).localCheckpoint(
-        eager=True
+        eager=True, storageLevel=frontier_storage()
     )
     m = edges.count()
 

@@ -35,7 +35,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from imtag_spark.plans.checkpoint import free_local_checkpoint
+from imtag_spark.plans.checkpoint import free_local_checkpoint, frontier_checkpoint
 
 EDGE_SCHEMA = "src BIGINT, dst BIGINT"
 
@@ -459,6 +459,117 @@ def _chained_count(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["chained"]) + int(row["dup"])
 
 
+def _cheap_rescan(df: DataFrame) -> bool:
+    """True when ``df`` is at most a projection/filter over an already-
+    materialized scan (localCheckpoint RDD, local relation, or file
+    relation) — i.e. re-reading it per round costs the same as reading a
+    fresh checkpoint copy, so the init lineage-truncation copy is pure
+    duplication. Conservative: any unrecognized node means False."""
+    try:
+        p = df._jdf.queryExecution().analyzed()
+        while p.nodeName() in ("Project", "Filter") and p.children().size() == 1:
+            p = p.children().apply(0)
+        return p.nodeName() in ("LogicalRDD", "LocalRelation", "LogicalRelation")
+    except Exception:
+        return False
+
+
+#: witness-count bound for the terminal-tail patch. When a round's
+#: certificate finds this few non-star-forest witnesses, the violating
+#: sub-forest is collected to the driver, solved with the same NumPy
+#: union-find, and applied as a broadcast dst-mapping inside the final
+#: labels job — replacing an entire distributed round whose cost is pure
+#: per-stage floor at any core count (measured at 64M edges: round 1
+#: leaves 387 witnesses, and the round 2 that resolves them costs
+#: 9.7-17.3 s at every parallelism level — an Amdahl tail for N→4N
+#: scaling). The collected candidate set is O(witnesses) rows, so the
+#: bound keeps driver traffic ≤ a few MB.
+PATCH_WITNESS_LIMIT = 65_536
+
+
+def _chain_patch(stepped: DataFrame) -> DataFrame | None:
+    """Resolve a near-terminal forest's remaining witnesses driver-side.
+
+    Returns a tiny ``(_old BIGINT, _new BIGINT)`` root mapping such that
+    rewriting EVERY row ``(s, d) → (s, coalesce(map[d], d))`` yields a
+    terminal star forest labeled with exact component minima — or ``None``
+    for an empty mapping (witnesses were all duplicate pointers agreeing on
+    the same root).
+
+    Exactness argument (relies on the loop invariant that every round
+    output points strictly downward, src > dst):
+
+    - Let V = {k : k is both pointed-to and pointing} ∪ {k : k carries
+      duplicate pointers}; candidates = rows with either endpoint in V.
+      Any vertex on a chain interior is in V, so every chain/duplicate row
+      is a candidate: the union-find over the candidate rows sees each
+      violating component's ENTIRE violating sub-forest, including its
+      global minimum (the last chain link points at it).
+    - A non-candidate row (s, d) has s pointing exactly once, s never
+      pointed-to, d never pointing: rewriting d to its union-find root (if
+      d was dragged into V's components by a candidate row) re-attaches s
+      to the true minimum; otherwise d is already terminal.
+    - Roots of the mapping cannot themselves point anywhere: a mapped root
+      with an outgoing row would be both pointed-to and pointing — i.e. in
+      V with all its rows among the candidates — contradicting it being
+      its component's minimum.
+
+    Generalizes the reference's final label-resolution sweep
+    (/root/reference/src/SegmentImageImpl.cpp:108-116, the ``find`` pass
+    that collapses leftover parent chains after the merge pass) to the
+    distributed forest: the chains that survive partition-local contraction
+    are collapsed in one driver pass over only the violating rows.
+    """
+    both = stepped.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("k"), F.lit(1).alias("s"), F.lit(0).alias("d")
+                ),
+                F.struct(
+                    F.col("dst").alias("k"), F.lit(0).alias("s"), F.lit(1).alias("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.k", "e.s", "e.d")
+    import pandas as pd
+
+    viol = (
+        both.groupBy("k")
+        .agg(F.sum("s").alias("ns"), F.sum("d").alias("nd"))
+        .where(((F.col("ns") > 0) & (F.col("nd") > 0)) | (F.col("ns") > 1))
+        .select("k")
+        .toPandas()  # ≤ O(witnesses) rows by the PATCH_WITNESS_LIMIT gate
+    )
+    if viol.empty:
+        return None
+    spark = stepped.sparkSession
+    vdf = spark.createDataFrame(viol, schema="k BIGINT")
+    cand = (
+        stepped.join(
+            F.broadcast(vdf.withColumnRenamed("k", "src")), "src", "leftsemi"
+        )
+        .unionByName(
+            stepped.join(
+                F.broadcast(vdf.withColumnRenamed("k", "dst")), "dst", "leftsemi"
+            ).select("src", "dst")
+        )
+        .toPandas()
+    )
+    if not len(cand):
+        return None
+    verts, roots = _contract_arrays(
+        [cand["src"].to_numpy(dtype=np.int64)], [cand["dst"].to_numpy(dtype=np.int64)]
+    )
+    changed = roots != verts
+    if not changed.any():
+        return None
+    return spark.createDataFrame(
+        pd.DataFrame({"_old": verts[changed], "_new": roots[changed]}),
+        schema="_old BIGINT, _new BIGINT",
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,
@@ -587,17 +698,30 @@ def connected_components(
     # every `checkpoint_every` rounds when resumability is requested.
     _t = _time.time()
     n_work: int | None = None
+    owns_frontier = False  # True once `work` is a checkpoint THIS solve made
     if not single_partition:
         # single-partition mode converges in ~1 round off a trivial plan
         # (coalesce of the source) — the init truncation job is pure cost.
         # Lazy checkpoint + count = the SAME single materialization job as
         # the old eager checkpoint, but it also yields the edge count that
         # gates the exchange-shared round structure below.
-        work = work.localCheckpoint(eager=False)
-        n_work = work.count()
+        #
+        # Skip the copy when the input is ALREADY a materialized scan
+        # (a caller-side checkpoint/local relation under at most a
+        # projection/filter): the plan is as flat as a checkpoint would
+        # make it, re-reading it per round is as cheap as reading the
+        # copy, and the copy itself is round 1's single largest stage at
+        # 64M edges (~160 task-core-seconds of pure block duplication).
+        if _cheap_rescan(work):
+            n_work = work.count()
+        else:
+            work = frontier_checkpoint(work, eager=False)
+            owns_frontier = True
+            n_work = work.count()
     if verbose:
         print(f"[cc] init n={n_work} {_time.time() - _t:.1f}s", flush=True)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    chain_patch: DataFrame | None = None
     for it in range(start_iter, max_iter):
         _t = _time.time()
         round_caches: list[DataFrame] = []
@@ -633,7 +757,7 @@ def connected_components(
         else:
             # lazy: the convergence-certificate collect below materializes
             # the checkpoint, so each round costs exactly one Spark job
-            stepped = stepped.localCheckpoint(eager=False)
+            stepped = frontier_checkpoint(stepped, eager=False)
         if funneled:
             # the gate (n_work <= chunk) guarantees the ENTIRE frontier went
             # through one union-find pass, whose output is a terminal star
@@ -644,13 +768,26 @@ def connected_components(
             n_edges, chained = stepped.count(), 0
         else:
             n_edges, chained = _chained_count(stepped)
+            if 0 < chained <= PATCH_WITNESS_LIMIT:
+                # Terminal-tail patch: the few remaining witnesses are
+                # resolved driver-side and applied as a broadcast dst
+                # mapping in the labels job below — the distributed round
+                # they would otherwise force is pure per-stage floor at any
+                # core count (see PATCH_WITNESS_LIMIT). Timed inside this
+                # round (it is this round's convergence cost).
+                chain_patch = _chain_patch(stepped)
+                chained = 0
         for c in round_caches:
             c.unpersist()
         # the certificate materialized this round's checkpoint — the
         # previous round's frontier blocks are dead from here on; release
         # them now instead of waiting for driver GC (r3 stage metrics
-        # showed the superseded copies accumulating across long runs)
-        free_local_checkpoint(work)
+        # showed the superseded copies accumulating across long runs).
+        # NEVER free a caller-owned input (init-copy skipped): its blocks
+        # outlive this solve.
+        if owns_frontier:
+            free_local_checkpoint(work)
+        owns_frontier = True  # every loop frontier from here on is ours
         n_work = n_edges  # next round's reuse gate, free off the certificate
         if verbose:
             print(
@@ -669,7 +806,25 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
-    # work is now a star forest oriented (member -> root). Labels:
+    # work is now a star forest oriented (member -> root) — possibly up to
+    # the driver-resolved chain patch, applied here as a broadcast mapping
+    # on dst (a narrow projection inside the one labels job).
+    bare_forest = work  # the checkpoint handle to free (work may be rewrapped)
+    if chain_patch is not None:
+        # The mapping's own (_old → _new) pairs ride along as member rows:
+        # a pre-patch root r whose component merged downward appears in the
+        # forest ONLY as a dst, so remapping those occurrences would erase
+        # r entirely (and the universe fallback would mislabel it as its
+        # own component) — the union row (r → find(r)) keeps it labeled.
+        work = work.join(
+            F.broadcast(chain_patch), work["dst"] == F.col("_old"), "left"
+        ).select(
+            "src", F.coalesce("_new", "dst").alias("dst")
+        ).unionByName(
+            chain_patch.select(
+                F.col("_old").alias("src"), F.col("_new").alias("dst")
+            )
+        )
     members = work.select(F.col("src").alias("vertex"), F.col("dst").alias("component"))
     roots = work.select(F.col("dst").alias("vertex"), F.col("dst").alias("component"))
     labels = members.union(roots).distinct()
@@ -677,8 +832,8 @@ def connected_components(
         universe.join(labels, "vertex", "left")
         .select("vertex", F.coalesce("component", "vertex").alias("component"))
         .localCheckpoint(eager=True)
-    )
+    )  # labels are wide-ish and read once by the caller: default storage
     universe.unpersist()
     # the labels are materialized — the terminal star forest is dead too
-    free_local_checkpoint(work)
+    free_local_checkpoint(bare_forest)
     return out

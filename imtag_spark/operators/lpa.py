@@ -19,6 +19,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from imtag_spark.plans.checkpoint import frontier_storage
+
 
 def label_propagation(
     edges: DataFrame,
@@ -64,7 +66,7 @@ def label_propagation(
             .join(labels.withColumnRenamed("label", "old_label"), "vertex")
             .select("vertex", F.coalesce("label", "old_label").alias("label"),
                     "old_label")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=frontier_storage())
         # One fused action per round (CC's certificate/collect pattern,
         # cc.py::_chained_count): the aggregate both materializes the lazy
         # checkpoint and returns the changed-label count — no separate

@@ -31,13 +31,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from imtag_spark.plans.checkpoint import free_local_checkpoint
+from imtag_spark.plans.checkpoint import (
+    free_local_checkpoint,
+    frontier_checkpoint,
+    frontier_storage,
+)
 
 #: auto mode takes the broadcast_join path at or below this vertex count
 #: (per-superstep rank broadcast ≈ 16B × V per executor — 320 MB at the
 #: threshold); the CSR ``broadcast`` mode shares the gate when requested
 #: explicitly (ranks array ≈ 8B × V per executor)
 BROADCAST_VERTEX_LIMIT = 20_000_000
+
+#: log2 of the rank-packing block size for the broadcast_join superstep:
+#: 2^4 = 16 ranks per packed map row (see the packing comment in
+#: ``pagerank``). Chosen so the O(block) map probe per edge stays a few
+#: cache-resident int64 comparisons while the driver-side broadcast build
+#: shrinks 16x.
+_PACK_BITS = 4
 
 
 def pagerank(
@@ -114,7 +125,7 @@ def pagerank(
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=frontier_storage())
     )
     n = vertices.count()
     use_broadcast = mode == "broadcast"
@@ -160,6 +171,22 @@ def pagerank(
         "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
     )
     if use_bjoin:
+        # Hash-block packing for the per-superstep rank broadcast. A naive
+        # broadcast of the V-row ranks serializes the superstep on the
+        # driver: BroadcastExchange collects V rows and builds the hashed
+        # relation single-threaded — measured 1.7-2.1 s per superstep at
+        # V=4M (stage-gap decomposition, BENCH.md r4), an Amdahl term that
+        # alone capped N→4N scaling at ~0.55. Packing 2^PACK_BITS ranks
+        # per row (block = hash(vertex) mod nblocks, so density is
+        # guaranteed for ANY id distribution — dense ranges and sparse
+        # 64-bit hash ids alike) shrinks the driver-side build to V/16
+        # rows; the per-edge cost moves into the already-parallel join as
+        # an O(block) map probe in codegen. The blk column is computed
+        # once here, cached with the transitions.
+        nblocks = max(1, (n + (1 << _PACK_BITS) - 1) >> _PACK_BITS)
+        transitions = transitions.withColumn(
+            "blk", F.pmod(F.xxhash64("src"), F.lit(nblocks))
+        )
         transitions = transitions.repartition(n_part, "dst").persist()
     else:
         transitions = (
@@ -178,7 +205,7 @@ def pagerank(
             F.coalesce("_has_out", F.lit(False)).alias("has_out"),
             F.lit(1.0 / n).alias("rank"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=frontier_storage())
     )
     # dangling mass of the CURRENT ranks; recomputed inside each round's
     # single convergence-check job so every superstep costs exactly one
@@ -197,14 +224,37 @@ def pagerank(
     prev_ck = ranks
     for it in range(max_iter):
         t0 = time.time()
-        ranks_side = ranks.select(F.col("vertex").alias("src"), "rank")
-        contribs = (
-            transitions.join(
-                F.broadcast(ranks_side) if use_bjoin else ranks_side, "src"
+        if use_bjoin:
+            # parallel packing agg (V rows → V/16 map rows), broadcast of
+            # the small packed table, probe inside whole-stage codegen;
+            # groupBy(dst) still reuses the cached dst partitioning — the
+            # E-row side neither exchanges nor leaves the JVM
+            packed = (
+                ranks.select(
+                    F.pmod(F.xxhash64("vertex"), F.lit(nblocks)).alias("blk"),
+                    F.struct(
+                        F.col("vertex").alias("k"), F.col("rank").alias("v")
+                    ).alias("kv"),
+                )
+                .groupBy("blk")
+                .agg(F.map_from_entries(F.collect_list("kv")).alias("rmap"))
             )
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-        )
+            contribs = (
+                transitions.join(F.broadcast(packed), "blk")
+                .groupBy("dst")
+                .agg(
+                    F.sum(
+                        F.col("rmap").getItem(F.col("src")) * F.col("w")
+                    ).alias("contrib")
+                )
+            )
+        else:
+            ranks_side = ranks.select(F.col("vertex").alias("src"), "rank")
+            contribs = (
+                transitions.join(ranks_side, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            )
         if metrics_out is not None and it == 0:
             # first-superstep physical plan, for the plan-quality tests
             # (asserts the cached E-row side never re-exchanges)
@@ -228,7 +278,7 @@ def pagerank(
             )
         )
         # lazy: materialized (and lineage truncated) by the collect below
-        new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_ranks = frontier_checkpoint(new_ranks, eager=False)
         # One job: L1 delta + next round's dangling mass together.
         row = new_ranks.agg(
             F.sum(F.abs(F.col("rank") - F.col("r0"))).alias("delta"),

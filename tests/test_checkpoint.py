@@ -29,6 +29,16 @@ def _chain_edges(spark, n=5000):
 MULTI_ROUND = {"_contract_chunk": 512}
 
 
+@pytest.fixture(autouse=True)
+def _no_terminal_patch(monkeypatch):
+    # the r4 terminal-tail patch resolves any ≤65536-witness tail without a
+    # further superstep — correct, but these scenarios deliberately engineer
+    # multi-superstep runs to exercise checkpoint/resume, so disable it here
+    import imtag_spark.operators.cc as cc
+
+    monkeypatch.setattr(cc, "PATCH_WITNESS_LIMIT", 0)
+
+
 def _labels_dict(df):
     return {r["vertex"]: r["component"] for r in df.collect()}
 

@@ -326,3 +326,56 @@ def test_cc_frontier_funnel_solves_small_graph_in_one_round(spark):
     rows = out.collect()
     assert len(rows) == 3001
     assert all(r["component"] == 0 for r in rows)  # one path, min id = 0
+
+
+def test_chain_patch_unit(spark):
+    """_chain_patch resolves chains, duplicate pointers, AND re-attaches
+    rows whose dst is only dragged downward transitively (the row (6, 2)
+    below never touches a violating vertex on its src side, yet 2's root
+    moves to 1 through the duplicate-pointer vertex 7)."""
+    from imtag_spark.operators.cc import _chain_patch
+
+    rows = [(5, 3), (3, 1), (7, 1), (7, 2), (6, 2), (8, 3), (10, 9)]
+    stepped = spark.createDataFrame(rows, "src BIGINT, dst BIGINT")
+    patch = _chain_patch(stepped)
+    assert patch is not None
+    mapping = {r["_old"]: r["_new"] for r in patch.collect()}
+    # every mapped value is the true component minimum
+    assert all(v == 1 for v in mapping.values()), mapping
+    # 2 and 3 must be re-rooted (they are non-terminal dsts); 9 untouched
+    assert mapping.get(2) == 1 and mapping.get(3) == 1
+    assert 9 not in mapping
+    patched = {(s, mapping.get(d, d)) for s, d in rows}
+    # terminal star forest: no dst appears as src, each src once
+    srcs = [s for s, _ in patched]
+    assert len(srcs) == len(set(srcs))
+    assert not ({d for _, d in patched} & set(srcs))
+    assert patched == {(5, 1), (3, 1), (7, 1), (6, 1), (8, 1), (10, 9)}
+
+
+def test_cc_patch_round_path_graph(spark, monkeypatch):
+    """Force the distributed rounds (funnel off) on a shuffled path graph:
+    partition-local contraction leaves cross-partition chains whose tail
+    round the terminal patch must replace, bit-identically to the
+    min-label contract."""
+    import imtag_spark.operators.cc as cc
+
+    monkeypatch.setattr(cc, "FUNNEL_EDGE_LIMIT", 0)
+    n = 5000
+    ids = spark.range(n).select(
+        F.col("id"), F.xxhash64(F.col("id")).alias("h")
+    )
+    # deterministic pseudo-random permutation of [0, n): rank of the hash
+    from pyspark.sql import Window
+
+    perm = ids.select(
+        "id",
+        (F.row_number().over(Window.orderBy("h")) - 1).alias("p"),
+    )
+    a = perm.select(F.col("id").alias("i"), F.col("p").alias("src"))
+    b = perm.select((F.col("id") - 1).alias("i"), F.col("p").alias("dst"))
+    edges = a.join(b, "i").select("src", "dst")  # path p(0)-p(1)-...-p(n-1)
+    labels = cc.connected_components(edges).collect()
+    assert len(labels) == n
+    comps = {r["component"] for r in labels}
+    assert comps == {0}, f"single path component must label 0, got {sorted(comps)[:5]}"
