@@ -1,40 +1,41 @@
 #!/bin/bash
-# Round-4 scaling-evidence collection queue (run on an otherwise-idle box).
+# Round-4 scaling-evidence collection queue, final engine (run on an
+# otherwise-idle box).
 #
 # Each line is one independent N->4N sample: both parallelism levels in
 # their own JVMs on the identical deterministic input (bench/scaling.py),
-# per-superstep rep-min protocol with an untimed CC warmup solve
-# (scaling_worker.py). Samples append to BENCH_SCALING.json stamped with
-# the engine content hash, so summaries never mix engine eras.
+# job-constant shuffle partitioning (n_part = 2 x high cores), per-
+# superstep rep-min over 3 in-JVM repetitions with an untimed CC warmup
+# solve, -XX:ActiveProcessorCount pinned to each level's cores. Samples
+# append to BENCH_SCALING.json stamped with the engine content hash.
 #
-# Queue rationale (VERDICT r3 "next round" items 1, 6, 7):
-#   - 4->16 uniform x3: PageRank now times its measured-best (auto ->
-#     broadcast_join) mode; the north-rule median claim needs >=3 fresh
-#     samples on the frozen r4 engine.
-#   - 4->16 skew x3: all pre-r4 skew samples were warmup-contaminated or
-#     steal-spiked; collect a clean distribution.
-#   - 8->32 uniform at the tail, if wall-clock remains: the bandwidth
-#     probe caps ANY bandwidth-bound stage at 0.73 efficiency for this
-#     pairing on this box, so 4->16 carries the north-rule claim.
-#
-# r4 protocol: both levels of a pairing run the IDENTICAL physical job
-# (shuffle partitions fixed at 2 x the high level's cores; see
-# bench/scaling.py).
+# Pairing rationale (stage decomposition, BENCH.md r4):
+#   - 4->16: PageRank's superstep is all-JVM (packed broadcast) and its
+#     stages scale at 0.9+; this is PR's claim-carrying pairing. CC's
+#     Arrow contraction runs one Python worker per task, so its stages
+#     occupy 2x(cores) threads — at local[16] that is the WHOLE box, and
+#     the contraction's task time inflates ~4x (box saturation, not
+#     engine serialization; every JVM stage of the same round scales at
+#     0.93-0.98).
+#   - 2->8: the thread-headroom-fair pairing for CC (8-core level = 16
+#     threads during Arrow stages = half the box), mirroring real
+#     executors that do not share one socket. 32M edges keeps the
+#     level-2 wall sane; the physics (rows/partition at n_part=16) match
+#     the 64M/32-partition jobs.
 set -u
 cd "$(dirname "$0")/.."
 for spec in \
+    "32000000 4000000 uniform 2,8" \
     "64000000 4000000 uniform 4,16" \
+    "32000000 4000000 uniform 2,8" \
+    "64000000 4000000 uniform 4,16" \
+    "32000000 4000000 uniform 2,8" \
     "32000000 4000000 skew 4,16" \
     "64000000 4000000 uniform 4,16" \
     "32000000 4000000 skew 4,16" \
-    "64000000 4000000 uniform 4,16" \
-    "32000000 4000000 skew 4,16" \
-    "64000000 4000000 uniform 8,32" \
-    "64000000 4000000 uniform 8,32" \
 ; do
     set -- $spec
     edges=$1; verts=$2; kind=$3; pair=$4
-    # scaling.py's positional contract: [n_edges] [n_vertices] [skew|other] [lo,hi]
     flag=x; [ "$kind" = skew ] && flag=skew
     echo "=== sample: ${pair} ${kind} ${edges} ($(date -u +%H:%M:%S)) ==="
     python bench/scaling.py "$edges" "$verts" "$flag" "$pair" || echo "SAMPLE FAILED"
