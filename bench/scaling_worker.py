@@ -32,6 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from imtag_spark.operators.cc import connected_components  # noqa: E402
 from imtag_spark.operators.pagerank import pagerank  # noqa: E402
+from imtag_spark.plans.checkpoint import frontier_storage  # noqa: E402
 from imtag_spark.session import get_spark  # noqa: E402
 
 
