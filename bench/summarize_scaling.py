@@ -67,11 +67,13 @@ def main() -> None:
         if want_hash is not None and run.get("engine_hash") != want_hash:
             continue
         pairing = key.split("_")[0]
-        groups.setdefault((pairing, bool(run.get("skew"))), {})[key] = run
+        n_edges = int(run.get("n_edges", 0))
+        size = f"{round(n_edges / 1e6)}M" if n_edges else "?"
+        groups.setdefault((pairing, bool(run.get("skew")), size), {})[key] = run
 
     print("| pairing | graph | workload | samples (chronological) | median | best |")
     print("|---|---|---|---|---|---|")
-    for (pairing, skew), runs in sorted(groups.items()):
+    for (pairing, skew, size), runs in sorted(groups.items()):
         for mkey, label in METRICS:
             vals = [
                 r["scaling_efficiency"][mkey]
@@ -80,7 +82,7 @@ def main() -> None:
             ]
             if not vals:
                 continue
-            graph = "skewed 32M" if skew else "uniform 64M"
+            graph = f"{'skewed' if skew else 'uniform'} {size}"
             cells = ", ".join(f"{v:.3f}" for v in vals)
             print(
                 f"| {pairing} | {graph} | {label} | {cells} "
