@@ -460,14 +460,24 @@ def _chained_count(edges: DataFrame) -> tuple[int, int]:
 
 
 def _cheap_rescan(df: DataFrame) -> bool:
-    """True when ``df`` is at most a projection/filter over an already-
-    materialized scan (localCheckpoint RDD, local relation, or file
-    relation) — i.e. re-reading it per round costs the same as reading a
-    fresh checkpoint copy, so the init lineage-truncation copy is pure
-    duplication. Conservative: any unrecognized node means False."""
+    """True when ``df`` is at most a DETERMINISTIC projection/filter over
+    an already-materialized scan (localCheckpoint RDD, local relation, or
+    file relation) — i.e. re-reading it per round costs the same as
+    reading a fresh checkpoint copy, so the init lineage-truncation copy
+    is pure duplication. Conservative: any unrecognized node means False,
+    and any non-deterministic expression (rand(), a nondet UDF, ...) in
+    the stripped operators means False — re-evaluating those per job
+    would desync the init count's n_work from the edges round 1 actually
+    reads, and the frontier funnel trusts n_work (r4 ADVICE). A file
+    mutated mid-run can still desync a LogicalRelation scan; that is the
+    caller's input-stability contract, same as any repeated Spark read."""
     try:
         p = df._jdf.queryExecution().analyzed()
         while p.nodeName() in ("Project", "Filter") and p.children().size() == 1:
+            exprs = p.expressions()
+            for i in range(exprs.size()):
+                if not exprs.apply(i).deterministic():
+                    return False
             p = p.children().apply(0)
         return p.nodeName() in ("LogicalRDD", "LocalRelation", "LogicalRelation")
     except Exception:
@@ -726,6 +736,7 @@ def connected_components(
         _t = _time.time()
         round_caches: list[DataFrame] = []
         funneled = False
+        patched_chained = 0  # true witness count a terminal-tail patch absorbed
         if single_partition:
             # complete solve in one narrow pass (star rounds would only
             # add shuffles); terminal star forest after round 1 whenever
@@ -776,7 +787,7 @@ def connected_components(
                 # core count (see PATCH_WITNESS_LIMIT). Timed inside this
                 # round (it is this round's convergence cost).
                 chain_patch = _chain_patch(stepped)
-                chained = 0
+                patched_chained, chained = chained, 0
         for c in round_caches:
             c.unpersist()
         # the certificate materialized this round's checkpoint — the
@@ -790,13 +801,25 @@ def connected_components(
         owns_frontier = True  # every loop frontier from here on is ours
         n_work = n_edges  # next round's reuse gate, free off the certificate
         if verbose:
+            patch_note = f" (patched {patched_chained})" if patched_chained else ""
             print(
-                f"[cc] round {it + 1} edges={n_edges} chained={chained} "
-                f"{_time.time() - _t:.1f}s",
+                f"[cc] round {it + 1} edges={n_edges} chained={chained}"
+                f"{patch_note} {_time.time() - _t:.1f}s",
                 flush=True,
             )
         if checkpointer is not None:
-            checkpointer.log_metrics(it + 1, edges=n_edges, chained=chained)
+            if patched_chained:
+                # A durable checkpoint written THIS round still stores the
+                # pre-patch witnesses — record the truth (their count plus
+                # patched=True) rather than chained=0, so nothing reading
+                # the manifest mistakes the stored frontier for a terminal
+                # star forest (r4 ADVICE). Resume stays correct either
+                # way: a resumed run re-executes the round.
+                checkpointer.log_metrics(
+                    it + 1, edges=n_edges, chained=patched_chained, patched=True
+                )
+            else:
+                checkpointer.log_metrics(it + 1, edges=n_edges, chained=chained)
         if metrics_out is not None:
             metrics_out.setdefault("superstep_times", []).append(_time.time() - _t)
             metrics_out["supersteps"] = it + 1

@@ -103,8 +103,56 @@ def minhash_signatures(
     return grouped.select("id", mh("shingles").alias("sig"))
 
 
+def cap_lsh_buckets(
+    bucketed: DataFrame,
+    keys: tuple[str, ...],
+    bucket_cap: int | None,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """Bound LSH bucket-join fan-out: drop buckets with more than
+    ``bucket_cap`` members before the self-join.
+
+    A degenerate hot bucket — e.g. one boilerplate license paragraph whose
+    band hash lands millions of docs in a single (band, bh) cell — makes
+    the candidate self-join quadratic in that bucket's size; at 100 TB a
+    10 M-row bucket is a 10^14-row join. A bucket that hot carries no
+    near-dup signal anyway (its members pair with everything), so the
+    standard fix is to drop buckets above a cap and surface what was
+    dropped rather than silently grind.
+
+    Implementation: map-side-combinable ``groupBy(keys).count`` + an
+    equi-join back on the same keys (the following self-join shuffles on
+    the identical keys, so the exchange is reused; no single-task hot
+    window). When ``metrics_out`` is given, the dropped bucket/row counts
+    are computed (one cheap aggregate over bucket counts) and recorded
+    under ``lsh_buckets_dropped`` / ``lsh_rows_dropped`` — callers that
+    cap MUST surface these, never truncate silently.
+    """
+    if bucket_cap is None:
+        return bucketed
+    counts = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    if metrics_out is not None:
+        dropped = (
+            counts.where(F.col("_bn") > bucket_cap)
+            .agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.coalesce(F.sum("_bn"), F.lit(0)).alias("rows"),
+            )
+            .collect()[0]
+        )
+        metrics_out["lsh_buckets_dropped"] = int(dropped["buckets"])
+        metrics_out["lsh_rows_dropped"] = int(dropped["rows"])
+    return bucketed.join(
+        counts.where(F.col("_bn") <= bucket_cap), list(keys)
+    ).drop("_bn")
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 8
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    bucket_cap: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (a, b) with a < b."""
     banded = sigs.select(
@@ -121,6 +169,7 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    banded = cap_lsh_buckets(banded, ("band", "bh"), bucket_cap, metrics_out)
     left = banded.select("band", "bh", F.col("id").alias("a"))
     right = banded.select("band", "bh", F.col("id").alias("b"))
     return (
@@ -165,17 +214,21 @@ def minhash_dedup_clusters(
     num_hashes: int = 128,
     bands: int = 16,
     seed: int = 42,
+    bucket_cap: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline → (id, cluster) for every doc in a dup pair.
 
     cluster = min doc id of the near-duplicate group (CC over verified
-    pairs — the same labeling contract as the graph CC).
+    pairs — the same labeling contract as the graph CC). ``bucket_cap``
+    bounds hot LSH buckets (see :func:`cap_lsh_buckets`); dropped counts
+    land in ``metrics_out``.
     """
     rows_per_band = num_hashes // bands
     sh = shingle_hashes(docs, text_col, id_col, shingle_k).persist()
     grouped = sh.groupBy("id").agg(F.collect_list("sh").alias("shingles"))
     sigs = grouped.select("id", _minhash_udf(num_hashes, seed)("shingles").alias("sig"))
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, bucket_cap, metrics_out)
     verified = exact_jaccard(sh, cands).where(F.col("jaccard") >= threshold)
     edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     clusters = connected_components(edges).select(
@@ -262,14 +315,20 @@ def minhash_dedup_clusters_sql(
     shingle_k: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    bucket_cap: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Oracle-checkable near-dup pipeline → (id, cluster); same shape as
     :func:`minhash_dedup_clusters` (band-bucket equi-join candidates, exact
-    Jaccard verify, CC clusters = min doc id)."""
+    Jaccard verify, CC clusters = min doc id). ``bucket_cap`` (off by
+    default so the oracle replay stays byte-exact; a capped run is
+    reproduced in SQL with a HAVING count(*) <= cap on the bucket CTE)
+    bounds hot buckets per :func:`cap_lsh_buckets`."""
     rows_per_band = num_hashes // bands
     sh = shingle_hashes_sql(docs, text_col, id_col, shingle_k).persist()
     sigs = minhash_signatures_sql(docs, text_col, id_col, shingle_k, num_hashes)
     banded = _band_bucket_sql(sigs, bands, rows_per_band)
+    banded = cap_lsh_buckets(banded, ("band", "bh"), bucket_cap, metrics_out)
     cands = (
         banded.select("band", "bh", F.col("id").alias("a"))
         .join(banded.select("band", "bh", F.col("id").alias("b")), ["band", "bh"])
@@ -370,12 +429,15 @@ def simhash_candidates(
     max_hamming: int = 3,
     n_blocks: int = 4,
     block_bits: int = 16,
+    bucket_cap: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup candidates by banding the simhash into ``n_blocks`` blocks
     of ``block_bits`` bits (pigeonhole: any pair within Hamming ≤ n_blocks-1
     shares at least one block), then verifying Hamming distance with
     bit_count. Defaults fit the 64-bit signatures; the 32-bit SQL-profile
-    signatures use 4×8."""
+    signatures use 4×8. ``bucket_cap`` bounds hot (blk, bh) buckets per
+    :func:`cap_lsh_buckets`."""
     mask = (1 << block_bits) - 1
     blocks = sigs.select(
         "id",
@@ -392,6 +454,7 @@ def simhash_candidates(
             ])
         ).alias("bb"),
     ).select("id", "simhash", "bb.blk", "bb.bh")
+    blocks = cap_lsh_buckets(blocks, ("blk", "bh"), bucket_cap, metrics_out)
     left = blocks.select("blk", "bh", F.col("id").alias("a"), F.col("simhash").alias("sa"))
     right = blocks.select("blk", "bh", F.col("id").alias("b"), F.col("simhash").alias("sb"))
     return (

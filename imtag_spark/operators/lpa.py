@@ -19,7 +19,11 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from imtag_spark.plans.checkpoint import frontier_storage
+from imtag_spark.plans.checkpoint import (
+    free_local_checkpoint,
+    frontier_checkpoint,
+    frontier_storage,
+)
 
 
 def label_propagation(
@@ -32,19 +36,34 @@ def label_propagation(
 
     Undirected semantics (edges symmetrized). Isolated/self-loop-only
     vertices keep their own id as label. Stops early when no label changes.
+
+    Loop hygiene (same contract as cc.py / pagerank.py): the symmetrized
+    E-row side is persisted hash-partitioned on the per-round join key
+    ``src`` — a cached InMemoryRelation advertises its outputPartitioning
+    to Catalyst (a localCheckpoint would NOT: LogicalRDD drops it, which
+    re-exchanged all E rows every round pre-r5), so each round exchanges
+    only the V-row labels side. Superseded label frontiers are freed the
+    moment the next round is materialized, keeping block-manager storage
+    flat across high-iteration runs instead of hoarding one V-row copy per
+    round.
     """
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.repartition(n_part, "src").persist()
 
+    # the vertex universe is joined on ``vertex`` every round: persist it
+    # pre-partitioned on that key for the same no-re-exchange reason as sym
     universe = (
         edges.select(F.col("src").alias("vertex"))
         .union(edges.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(n_part, "vertex")
+        .persist()
     )
     labels = universe.select("vertex", F.col("vertex").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = frontier_checkpoint(labels)
+    prev_ckpt = labels  # the materialized frontier the current round reads
 
     for it in range(max_iter):
         t0 = time.time()
@@ -83,7 +102,15 @@ def label_propagation(
         )
         if verbose:
             print(f"[lpa] iter {it + 1} changed={changed} {time.time() - t0:.1f}s", flush=True)
+        # new_labels is materialized (the agg above ran it): the previous
+        # round's frontier blocks can never be read again — free them now
+        free_local_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.select("vertex", "label")
         if changed == 0:
             break
+    # the returned frame reads only the final materialized frontier — the
+    # cached edge table and the vertex universe are dead weight past here
+    sym.unpersist(blocking=True)
+    universe.unpersist(blocking=True)
     return labels

@@ -187,6 +187,32 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + data
 
 
+def decode_blob(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Per-blob codec dispatch: (width, height, channels, pixel bytes).
+
+    Module-level (not a closure inside :func:`decode_image`) on purpose:
+    Spark's Python workers re-import this module, so the ``Image`` gate is
+    re-evaluated per worker — and a module-level kernel lets tests cover
+    the PIL branch directly with a stubbed ``Image`` without needing PIL
+    inside worker processes (tests/test_multimodal.py).
+    """
+    if Image is not None:
+        import io
+
+        img = Image.open(io.BytesIO(raw))
+        arr = np.asarray(img)
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        return img.width, img.height, c, arr.tobytes()
+    if raw[:2] in (b"P6", b"P5"):
+        return _decode_pnm(raw)
+    if raw[:2] == b"BM":
+        return _decode_bmp(raw)
+    raise NotImplementedError(
+        f"no decoder for blob with magic {raw[:4]!r}: PIL is not "
+        "installed and the NumPy fallback handles PPM/PGM/BMP only"
+    )
+
+
 def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "blob") -> DataFrame:
     """Decode image blobs to raw row-major pixel bytes + dims.
 
@@ -203,28 +229,11 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "blob") -> Da
     patching, feature extraction) consumes without re-parsing.
     """
 
-    def decode_one(raw: bytes) -> tuple[int, int, int, bytes]:
-        if Image is not None:  # pragma: no cover - PIL absent in container
-            import io
-
-            img = Image.open(io.BytesIO(raw))
-            arr = np.asarray(img)
-            c = 1 if arr.ndim == 2 else arr.shape[2]
-            return img.width, img.height, c, arr.tobytes()
-        if raw[:2] in (b"P6", b"P5"):
-            return _decode_pnm(raw)
-        if raw[:2] == b"BM":
-            return _decode_bmp(raw)
-        raise NotImplementedError(
-            f"no decoder for blob with magic {raw[:4]!r}: PIL is not "
-            "installed and the NumPy fallback handles PPM/PGM/BMP only"
-        )
-
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = [decode_one(bytes(blob)) for blob in pdf[bin_col]]
+            out = [decode_blob(bytes(blob)) for blob in pdf[bin_col]]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(dtype=np.int64),

@@ -68,34 +68,60 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.nodeName() == "LogicalRDD":
-            _quiet_unpersist_warning(df.sparkSession)
-            plan.rdd().unpersist(False)
+            _unpersist_quietly(df.sparkSession, plan.rdd())
     except Exception:
         pass  # cleanup must never break the solve (e.g. plan API drift)
 
 
-_UNPERSIST_LOGGER_QUIETED = False
+_UNPERSIST_LOGGER = "org.apache.spark.rdd.MapPartitionsRDD"
 
 
-def _quiet_unpersist_warning(spark: SparkSession) -> None:
-    """Silence Spark's per-unpersist 'lineage has been truncated and cannot
-    be recomputed' WARN for locally-checkpointed RDDs — here the
-    non-recomputability is exactly the point (the frontier is dead by
-    construction), and the message would otherwise repeat once per freed
-    round in the driver log. Scoped to the one emitting logger; every other
-    warning is untouched."""
-    global _UNPERSIST_LOGGER_QUIETED
-    if _UNPERSIST_LOGGER_QUIETED:
-        return
+def _unpersist_quietly(spark: SparkSession, jrdd) -> None:
+    """``jrdd.unpersist(blocking=False)`` with Spark's per-unpersist
+    'lineage has been truncated and cannot be recomputed' WARN silenced —
+    here the non-recomputability is exactly the point (the frontier is dead
+    by construction), and the message would otherwise repeat once per freed
+    round in the driver log.
+
+    The silencing is scoped to the one synchronous unpersist call: the
+    emitting logger's level is raised to ERROR immediately before and
+    restored immediately after (removing the logger config entirely if the
+    level was inherited), so warnings from the same class elsewhere — e.g.
+    lineage-truncation WARNs for a *caller's* localCheckpoints unpersisted
+    outside this library — still appear.
+    """
+    restore = None
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.rdd.MapPartitionsRDD",
-            jvm.org.apache.logging.log4j.Level.ERROR,
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        config = ctx.getConfiguration()
+        logger_cfg = config.getLoggerConfig(_UNPERSIST_LOGGER)
+        if logger_cfg.getName() == _UNPERSIST_LOGGER:
+            prev = logger_cfg.getLevel()
+
+            def restore():
+                configurator.setLevel(_UNPERSIST_LOGGER, prev)
+        else:
+            # no explicit config existed — setLevel creates one; remove it
+            # afterwards so the logger goes back to inheriting its parent
+            def restore():
+                config.removeLogger(_UNPERSIST_LOGGER)
+                ctx.updateLoggers()
+
+        configurator.setLevel(
+            _UNPERSIST_LOGGER, jvm.org.apache.logging.log4j.Level.ERROR
         )
-        _UNPERSIST_LOGGER_QUIETED = True
     except Exception:
-        _UNPERSIST_LOGGER_QUIETED = True  # cosmetic only — never retry-loop
+        restore = None  # cosmetic only — unpersist regardless
+    try:
+        jrdd.unpersist(False)
+    finally:
+        if restore is not None:
+            try:
+                restore()
+            except Exception:
+                pass
 
 
 class SuperstepCheckpointer:

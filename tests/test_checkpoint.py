@@ -95,3 +95,35 @@ def test_resume_after_kill_is_identical(spark, tmp_path):
 def test_resume_empty_root_returns_none(spark, tmp_path):
     ckpt = SuperstepCheckpointer(spark, str(tmp_path / "empty"))
     assert ckpt.resume() is None
+
+
+def test_manifest_records_true_witnesses_when_patch_fires(
+    spark, tmp_path, monkeypatch
+):
+    # r4 ADVICE: a round that both writes a durable checkpoint and resolves
+    # its tail driver-side must record the TRUE pre-patch witness count
+    # plus patched=True — the stored parquet frontier still contains those
+    # witnesses, so chained=0 would claim a terminal star forest the
+    # stored state is not.
+    import imtag_spark.operators.cc as cc
+
+    monkeypatch.setattr(cc, "PATCH_WITNESS_LIMIT", 65_536)  # undo autouse 0
+    ckpt = SuperstepCheckpointer(spark, str(tmp_path / "cc"), keep_last=3)
+    edges = _chain_edges(spark, n=600)  # > the 512 chunk → no funnel
+    labels = connected_components(
+        edges, checkpointer=ckpt, checkpoint_every=1, pre_contract=False,
+        **MULTI_ROUND,
+    )
+    assert set(_labels_dict(labels).values()) == {0}  # patch kept exactness
+    manifest = json.loads(ckpt.manifest_path.read_text())
+    patched_steps = [
+        v for v in manifest["steps"].values() if v.get("patched")
+    ]
+    assert patched_steps, f"no patched step recorded: {manifest['steps']}"
+    assert all(v["chained"] > 0 for v in patched_steps)
+    # un-patched steps never carry the flag
+    assert all(
+        "patched" not in v
+        for v in manifest["steps"].values()
+        if v not in patched_steps
+    )
