@@ -47,49 +47,13 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     default_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    def timed(name: str, fn, reps: int | None = None):
-        reps = default_reps if reps is None else reps
-        # best-of-N: this sandbox rides hypervisor steal spikes of 2-10x
-        # (BENCH.md); the workloads are deterministic, so the minimum is
-        # the honest observation. fn returns (result, metrics-snapshot) or
-        # just a result; the snapshot of the fastest rep is kept.
-        best_dt, best_out = None, None
-        for _ in range(reps):
-            t0 = time.time()
-            out = fn()
-            dt = time.time() - t0
-            if best_dt is None or dt < best_dt:
-                best_dt, best_out = dt, out
-        timings[name] = round(best_dt, 3)
-        return best_out
-
-    # --- graph workloads over the sf tables -------------------------------
+    # --- inputs (built once, before any timing) ----------------------------
     co_edges = customer_order_edges(spark, sf_dir).localCheckpoint(eager=True)
     n_co = co_edges.count()
     part_edges = part_cooccurrence_edges(spark, sf_dir, keep_mod=2).localCheckpoint(
         eager=True
     )
     n_parts = part_edges.count()
-
-    def with_metrics(run):
-        # fresh metrics dict per rep; timed() keeps the fastest rep's copy
-        def go():
-            m: dict = {}
-            run(m)
-            return m
-        return go
-
-    cc_m = timed("cc_customer_orders", with_metrics(
-        lambda m: connected_components(co_edges, metrics_out=m).count()))
-
-    ccp_m = timed("cc_parts", with_metrics(
-        lambda m: connected_components(part_edges, metrics_out=m).count()))
-
-    pr_m = timed("pagerank10_parts", with_metrics(
-        lambda m: pagerank(part_edges, directed=False, tol=0.0, max_iter=10,
-                           metrics_out=m).count()))
-
-    timed("triangles_parts", lambda: triangle_count(part_edges).count())
 
     # 10x-scale triangle point (deterministic synthetic graph, built
     # JVM-side): exercises the streaming wedge-close aggregation — the
@@ -104,39 +68,80 @@ def run_bench(spark, sf_dir: str) -> dict:
         .localCheckpoint(eager=True)
     )
     extra["edges_tri_synth"] = tri_edges.count()
-    timed("triangles_synth_3m", lambda: triangle_count(tri_edges).count())
 
-    timed("lpa5_parts", lambda: label_propagation(part_edges, max_iter=5).count())
-
-    # --- dataset-pipeline workloads ---------------------------------------
     docs = load(spark, sf_dir, "documents")
-    timed("dedup_exact_documents", lambda: exact_duplicates(docs).count())
-
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 100)
-    timed("knn_embeddings", lambda: knn_bruteforce(emb, q, k=10).count())
 
-    # --- reference-parity CCL workload (BASELINE.md "large" grid) ---------
-    # best of 2: this sandbox shows hypervisor CPU-steal spikes; the
-    # deterministic workload (identical per-round fingerprints) is the
-    # right thing to time, the steal noise is not.
+    # reference-parity CCL inputs (BASELINE.md "large" grid)
     grid = make_grid(1024, 1024, 0.60, 42)
     cells = grid_to_cells(spark, grid)
     runs = grid_to_runs(cells).localCheckpoint(eager=True)
     edges = adjacent_row_edges(runs, "cross").localCheckpoint(eager=True)
     extra["grid_edges"] = edges.count()
-
-    # morphology entry point 2 on a 256² grid (full invert + re-CCL + join)
     grid_m = make_grid(256, 256, 0.55, 42)
     runs_m = grid_to_runs(grid_to_cells(spark, grid_m)).localCheckpoint(eager=True)
-    timed("hole_adjacencies_256", lambda: hole_adjacencies(
-        runs_m, *grid_m.shape).count())
+
+    # --- workload registry --------------------------------------------------
+    def with_metrics(run):
+        # fresh metrics dict per rep; the fastest rep's copy is kept
+        def go():
+            m: dict = {}
+            run(m)
+            return m
+        return go
 
     def grid_ccl(m: dict):
         dense = label_runs(runs, "cross", metrics_out=m, cells_hint=1024 * 1024)
         m["components"] = dense.select("dense_label").distinct().count()
 
-    grid_m_best = timed("grid_ccl_1024", with_metrics(grid_ccl))
+    workloads: list[tuple[str, object]] = [
+        ("cc_customer_orders", with_metrics(
+            lambda m: connected_components(co_edges, metrics_out=m).count())),
+        ("cc_parts", with_metrics(
+            lambda m: connected_components(part_edges, metrics_out=m).count())),
+        ("pagerank10_parts", with_metrics(
+            lambda m: pagerank(part_edges, directed=False, tol=0.0, max_iter=10,
+                               metrics_out=m).count())),
+        ("triangles_parts", lambda: triangle_count(part_edges).count()),
+        ("triangles_synth_3m", lambda: triangle_count(tri_edges).count()),
+        ("lpa5_parts", lambda: label_propagation(part_edges, max_iter=5).count()),
+        ("dedup_exact_documents", lambda: exact_duplicates(docs).count()),
+        ("knn_embeddings", lambda: knn_bruteforce(emb, q, k=10).count()),
+        ("hole_adjacencies_256", lambda: hole_adjacencies(
+            runs_m, *grid_m.shape).count()),
+        ("grid_ccl_1024", with_metrics(grid_ccl)),
+    ]
+
+    # --- execution: warm up once untimed, then INTERLEAVE the reps ---------
+    # Noise robustness (VERDICT r4 "what's wrong" #1): back-to-back
+    # best-of-N per query does not survive a sustained host steal window —
+    # all N reps of one query land inside the spike while another query's
+    # reps land outside it, and the committed artifact then contradicts the
+    # engine. One untimed warmup per workload absorbs JIT/cache effects,
+    # and interleaving the reps round-robin (rep 1 of every query, then
+    # rep 2 of every query, ...) spreads each query's samples across the
+    # whole bench window, so a noise spike degrades every query's worst
+    # rep instead of one query's best — the cc_round_lab measurement
+    # discipline applied to the driver artifact. The workloads are
+    # deterministic, so the per-query minimum stays the honest observation.
+    for _, fn in workloads:
+        fn()  # warmup, untimed
+    best: dict[str, tuple[float, object]] = {}
+    for _rep in range(default_reps):
+        for name, fn in workloads:
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            if name not in best or dt < best[name][0]:
+                best[name] = (dt, out)
+    for name, _ in workloads:
+        timings[name] = round(best[name][0], 3)
+
+    cc_m = best["cc_customer_orders"][1]
+    ccp_m = best["cc_parts"][1]
+    pr_m = best["pagerank10_parts"][1]
+    grid_m_best = best["grid_ccl_1024"][1]
     extra["grid_components"] = grid_m_best["components"]
     extra["grid_cc_supersteps"] = grid_m_best.get("supersteps", 0)
     extra["grid_cc_superstep_times"] = [
@@ -220,12 +225,30 @@ def main() -> None:
         sys.path.insert(0, os.path.join(here, "bench"))
         from engine_fingerprint import engine_hash  # noqa: E402
         current = engine_hash()
+        # Era widening: scaling samples take ~30 min each, so the sample
+        # base is collected against a frozen engine; hygiene-only commits
+        # (log wording, docstrings, guards proven plan-identical for the
+        # measured workloads) must not orphan it. bench/engine_era.json
+        # lists the hashes certified mutually plan-identical plus the
+        # evidence; it applies ONLY while HEAD's own hash is a member —
+        # any uncertified engine change leaves the filter strict. Eras are
+        # never silently mixed: the accepted hash set is stamped below.
+        accepted = {current}
+        era = None
+        era_path = os.path.join(here, "bench", "engine_era.json")
+        if os.path.exists(era_path):
+            with open(era_path) as f:
+                candidate = json.load(f)
+            if current in candidate.get("hashes", []):
+                era = candidate
+                accepted = set(candidate["hashes"])
         matching = {k: r for k, r in runs.items()
-                    if r.get("engine_hash") == current}
+                    if r.get("engine_hash") in accepted}
         if matching:
             runs = matching
         result["scaling_engine"] = {
             "engine_hash": current,
+            "accepted_hashes": sorted(accepted),
             "samples_current_engine": len(matching),
             "samples_total": len(json.load(open(scaling_path))),
             # stamp the commits the summarized group covers (ADVICE r3)
@@ -233,6 +256,8 @@ def main() -> None:
                                for r in runs.values()}),
             "filtered": bool(matching),
         }
+        if era is not None:
+            result["scaling_engine"]["era_equivalence"] = era.get("equivalence")
         def summarize(pairs):
             out = {}
             for metric in ("cc", "pagerank_min", "pagerank_steady"):

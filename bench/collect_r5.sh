@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-5 scaling-evidence queue (VERDICT r4 "next round" item 1).
+#
+# State entering round 5 (final-engine samples, summarize_scaling --era):
+#   - 4->16 uniform 64M: n=5 after the r4b queue drained — medians
+#     CC ~0.77 / PR steady ~0.73, best 0.881/0.799. Below the 0.8 bar;
+#     the stage decomposition (bench/scaling_decomp.py, BENCH.md r4)
+#     attributes the gap to a core-count-independent per-superstep floor
+#     (~1.5 s serial for PR: driver broadcast build + job scheduling +
+#     AQE barriers; whole-box Python-worker saturation for CC's Arrow
+#     contraction at local[16] on this 32-core host).
+#   - 4->16 skew: n=2 (need >=3).
+#   - 2->8 uniform: n=3, clears (CC 0.873, PR 0.938); one retry firms the
+#     median against the 0.686 outlier (the first 2->8 retry died on a
+#     worker failure the queue couldn't diagnose; scaling.py now surfaces
+#     worker stderr).
+#
+# This queue collects, in value order:
+#   1. 4->16 skew -> n=3 (the bar's own requirement)
+#   2. 4->16 uniform at 128M edges — the amortization evidence: if the
+#      4->16 gap is a fixed per-superstep floor (not a parallelism
+#      defect), doubling per-core edge work must push efficiency toward
+#      and past 0.8. The north rule's own regime is a 10^9-edge table —
+#      64M at local[4] is far BELOW the per-executor work a real N-node
+#      cluster would hold, so the 128M point is the faithful one.
+#   3. 2->8 uniform retry -> n=4
+#   4. 4->16 skew -> n=4 (insurance, if wall-clock allows)
+#
+# Protocol identical to collect_samples.sh / collect_r4b.sh: job-constant
+# n_part = 2 x high cores, rep-min over 3 in-JVM reps, untimed CC warmup,
+# pinned ActiveProcessorCount. Run on an otherwise-idle box.
+set -u
+cd "$(dirname "$0")/.."
+for spec in \
+    "32000000 4000000 skew 4,16" \
+    "128000000 4000000 uniform 4,16" \
+    "32000000 4000000 uniform 2,8" \
+    "32000000 4000000 skew 4,16" \
+; do
+    set -- $spec
+    edges=$1; verts=$2; kind=$3; pair=$4
+    flag=x; [ "$kind" = skew ] && flag=skew
+    echo "=== sample: ${pair} ${kind} ${edges} ($(date -u +%H:%M:%S)) ==="
+    python bench/scaling.py "$edges" "$verts" "$flag" "$pair" || echo "SAMPLE FAILED"
+done
+echo "=== queue done ($(date -u +%H:%M:%S)) ==="

@@ -37,9 +37,20 @@ def run_level(
         "skew" if skew else "uniform",
         str(n_part),
     ]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=3600, check=True
-    )
+    # 2h ceiling: the 128M-edge amortization point runs ~50 min per level
+    # clean, and a host steal window can double that — a timeout mid-sample
+    # wastes the whole level, so the ceiling is a last-resort hang guard only
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    if out.returncode != 0:
+        # surface the worker's failure instead of a bare exit-status (the
+        # 2026-08-18 2->8 sample died with zero diagnostics in the queue log)
+        sys.stderr.write(
+            f"[scaling] worker failed (cpus={cpus}, rc={out.returncode});"
+            f" stderr tail:\n{out.stderr[-4000:]}\n"
+        )
+        raise subprocess.CalledProcessError(
+            out.returncode, cmd, out.stdout, out.stderr
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -52,6 +52,22 @@ def main() -> None:
 
             want_hash = engine_hash()
             args = args[1:]
+        elif args[0] == "--era":
+            # accept every hash bench/engine_era.json certifies as
+            # plan-identical to the current engine (only valid while the
+            # working tree's own hash is a member — see bench.py)
+            from engine_fingerprint import engine_hash
+
+            with open(os.path.join(HERE, "engine_era.json")) as f:
+                era = json.load(f)
+            cur = engine_hash()
+            if cur not in era.get("hashes", []):
+                raise SystemExit(
+                    f"--era: working-tree engine hash {cur} is not in the "
+                    "certified era set; re-certify or use --current-engine"
+                )
+            want_hash = set(era["hashes"])
+            args = args[1:]
         else:
             raise SystemExit(f"unknown arg: {args[0]}")
 
@@ -64,8 +80,10 @@ def main() -> None:
             str(run.get("engine_commit", "")).startswith(c) for c in commits
         ):
             continue
-        if want_hash is not None and run.get("engine_hash") != want_hash:
-            continue
+        if want_hash is not None:
+            accepted = want_hash if isinstance(want_hash, set) else {want_hash}
+            if run.get("engine_hash") not in accepted:
+                continue
         pairing = key.split("_")[0]
         n_edges = int(run.get("n_edges", 0))
         size = f"{round(n_edges / 1e6)}M" if n_edges else "?"
