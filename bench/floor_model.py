@@ -1,0 +1,120 @@
+"""Serial-floor model over the stored scaling samples (round 5).
+
+The r4 stage decomposition (bench/scaling_decomp.py) showed every JVM
+stage of the PageRank superstep scales 0.93-0.98 with cores; the 4->16
+efficiency shortfall at 64M edges is a core-count-independent
+per-superstep cost (driver-side packed-broadcast build + job scheduling +
+AQE query-stage barriers). This script makes that claim quantitative and
+falsifiable:
+
+  t(N) = s + p / N        s: serial floor per superstep (s)
+                          p: parallel work per superstep (core-s)
+
+is fitted on the 4->16 uniform 64M samples (median steady-state PageRank
+superstep time per level), then evaluated against every OTHER edge count
+present in the store (the 128M amortization sample is the pre-registered
+holdout — see BENCH.md round-5 section, prediction committed before the
+sample ran). Efficiency from N to 4N under the model:
+
+  eff(W) = t_N(W) / (4 * t_4N(W))   -> 1 as per-core work W grows
+
+so a fixed floor predicts HIGHER efficiency at larger inputs — which is
+the regime the north rule actually names (a 10^9+-edge table holds
+15-30x more per-executor work than 64M edges at local[4]).
+
+Usage: python bench/floor_model.py  (reads BENCH_SCALING.json; era-filtered
+to the certified engine hashes like bench.py / summarize_scaling.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics as st
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+FIT_EDGES = 64_000_000  # fit input (within 1%: the generator emits 63,999,994)
+
+
+def _era_hashes() -> set[str]:
+    from engine_fingerprint import engine_hash  # noqa: E402
+
+    cur = engine_hash()
+    accepted = {cur}
+    era_path = os.path.join(HERE, "engine_era.json")
+    if os.path.exists(era_path):
+        with open(era_path) as f:
+            era = json.load(f)
+        if cur in era.get("hashes", []):
+            accepted = set(era["hashes"])
+    return accepted
+
+
+def _steady_times(run: dict, level: str) -> float:
+    lv = run["levels"][level]
+    return run["n_edges"] / lv["eps_pagerank_steady"]
+
+
+def main() -> None:
+    import sys
+
+    sys.path.insert(0, HERE)
+    accepted = _era_hashes()
+    with open(os.path.join(REPO, "BENCH_SCALING.json")) as f:
+        runs = json.load(f)
+    samples = [
+        r
+        for k, r in sorted(runs.items())
+        if k.startswith("4to16")
+        and r.get("engine_hash") in accepted
+        and not r.get("skew")
+        and "4" in r["levels"]
+        and "16" in r["levels"]
+    ]
+    by_edges: dict[int, list[dict]] = {}
+    for r in samples:
+        by_edges.setdefault(r["n_edges"], []).append(r)
+
+    fit_group = next(
+        (v for n, v in by_edges.items() if abs(n - FIT_EDGES) / FIT_EDGES < 0.01),
+        None,
+    )
+    if not fit_group:
+        raise SystemExit("no 64M 4->16 uniform samples in the certified era")
+    t4 = st.median(_steady_times(r, "4") for r in fit_group)
+    t16 = st.median(_steady_times(r, "16") for r in fit_group)
+    p = (t4 - t16) * 16 / 3
+    s = t4 - p / 4
+    n_fit = fit_group[0]["n_edges"]
+    print(
+        f"fit on {len(fit_group)} x {n_fit:,}-edge samples: "
+        f"t4={t4:.2f}s t16={t16:.2f}s -> s={s:.2f}s/superstep, p={p:.1f} core-s"
+    )
+
+    print("\nmodel vs measurement (PageRank steady-state, 4->16 uniform):")
+    print("| edges | pred t4 | pred t16 | pred eff | measured eff (each sample) |")
+    print("|---|---|---|---|---|")
+    rows = sorted(by_edges) + [1_000_000_000, 4_000_000_000]
+    seen = set()
+    for n in rows:
+        if n in seen:
+            continue
+        seen.add(n)
+        scale = n / n_fit
+        pt4 = s + scale * p / 4
+        pt16 = s + scale * p / 16
+        peff = pt4 / (4 * pt16)
+        meas = [
+            f"{_steady_times(r, '4') / (4 * _steady_times(r, '16')):.3f}"
+            for r in by_edges.get(n, [])
+        ]
+        print(
+            f"| {n:,} | {pt4:.1f} | {pt16:.1f} | {peff:.3f} | "
+            f"{', '.join(meas) if meas else '-'} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
