@@ -274,15 +274,29 @@ def main() -> None:
             return out
         pairings = sorted({k.split("_")[0] for k in runs})
         for pairing in pairings:
-            uniform = [r for k, r in runs.items()
-                       if k.split("_")[0] == pairing and not r.get("skew")]
-            skewed = [r for k, r in runs.items()
-                      if k.split("_")[0] == pairing and r.get("skew")]
             entry = {}
-            if uniform:
-                entry["uniform"] = summarize(uniform)
-            if skewed:
-                entry["skew"] = summarize(skewed)
+            for skewed, base in ((False, "uniform"), (True, "skew")):
+                group = [r for k, r in runs.items()
+                         if k.split("_")[0] == pairing
+                         and bool(r.get("skew")) == skewed]
+                if not group:
+                    continue
+                # Different edge counts are different experiments (the
+                # 128M amortization point must not shift the 64M median):
+                # the modal size keeps the plain key, other sizes get an
+                # explicit _<edges>m suffix.
+                sizes = sorted({r["n_edges"] for r in group})
+                modal = max(
+                    sizes,
+                    key=lambda n: (sum(1 for r in group
+                                       if r["n_edges"] == n), -n),
+                )
+                for n in sizes:
+                    sub = [r for r in group if r["n_edges"] == n]
+                    name = base if n == modal else (
+                        f"{base}_{round(n / 1_000_000)}m")
+                    entry[name] = summarize(sub)
+                    entry[name]["n_edges"] = n
             result[f"scaling_{pairing}"] = entry
     print(json.dumps(result))
 
