@@ -64,14 +64,16 @@ def main() -> None:
     accepted = _era_hashes()
     with open(os.path.join(REPO, "BENCH_SCALING.json")) as f:
         runs = json.load(f)
-    samples = [
-        r
+    era_runs = {
+        k: r
         for k, r in sorted(runs.items())
-        if k.startswith("4to16")
-        and r.get("engine_hash") in accepted
-        and not r.get("skew")
+        if r.get("engine_hash") in accepted
         and "4" in r["levels"]
         and "16" in r["levels"]
+    }
+    samples = [
+        r for k, r in era_runs.items()
+        if k.startswith("4to16") and not r.get("skew")
     ]
     by_edges: dict[int, list[dict]] = {}
     for r in samples:
@@ -113,6 +115,34 @@ def main() -> None:
         print(
             f"| {n:,} | {pt4:.1f} | {pt16:.1f} | {peff:.3f} | "
             f"{', '.join(meas) if meas else '-'} |"
+        )
+
+    # Cross-validation on the OTHER sample groups (skew, other sizes):
+    # if the only 4->16 asymmetry is the fixed floor s, then taking each
+    # group's measured t4, deriving its parallel work p_g = (t4 - s) * 4
+    # (skew/size change the work, never the floor), the model must
+    # reproduce that group's measured t16 and efficiency with no new
+    # parameters.
+    groups: dict[tuple[bool, int], list[dict]] = {}
+    for k, r in era_runs.items():
+        if not k.startswith("4to16"):
+            continue
+        groups.setdefault((bool(r.get("skew")), r["n_edges"]), []).append(r)
+    print(
+        "\ncross-check (one free param per row: the group's own work "
+        "p_g from its measured t4; floor s fixed from the fit):"
+    )
+    print("| group | t4 | t16 meas | t16 pred | eff meas | eff pred |")
+    print("|---|---|---|---|---|---|")
+    for (skewed, n), grp in sorted(groups.items()):
+        gt4 = st.median(_steady_times(r, "4") for r in grp)
+        gt16 = st.median(_steady_times(r, "16") for r in grp)
+        p_g = (gt4 - s) * 4
+        pt16 = s + p_g / 16
+        label = f"{'skew' if skewed else 'uniform'} {round(n / 1e6)}M (n={len(grp)})"
+        print(
+            f"| {label} | {gt4:.2f} | {gt16:.2f} | {pt16:.2f} | "
+            f"{gt4 / (4 * gt16):.3f} | {gt4 / (4 * pt16):.3f} |"
         )
 
 
