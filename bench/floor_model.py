@@ -68,12 +68,13 @@ def main() -> None:
         k: r
         for k, r in sorted(runs.items())
         if r.get("engine_hash") in accepted
-        and "4" in r["levels"]
-        and "16" in r["levels"]
     }
     samples = [
         r for k, r in era_runs.items()
-        if k.startswith("4to16") and not r.get("skew")
+        if k.startswith("4to16")
+        and not r.get("skew")
+        and "4" in r["levels"]
+        and "16" in r["levels"]
     ]
     by_edges: dict[int, list[dict]] = {}
     for r in samples:
@@ -125,7 +126,7 @@ def main() -> None:
     # parameters.
     groups: dict[tuple[bool, int], list[dict]] = {}
     for k, r in era_runs.items():
-        if not k.startswith("4to16"):
+        if not k.startswith("4to16") or "4" not in r["levels"] or "16" not in r["levels"]:
             continue
         groups.setdefault((bool(r.get("skew")), r["n_edges"]), []).append(r)
     print(
@@ -144,6 +145,37 @@ def main() -> None:
             f"| {label} | {gt4:.2f} | {gt16:.2f} | {pt16:.2f} | "
             f"{gt4 / (4 * gt16):.3f} | {gt4 / (4 * pt16):.3f} |"
         )
+
+    # Per-edge steady WORK cost by level x input: the bandwidth-ceiling
+    # diagnostic. PageRank cost subtracts the fitted core-count-independent
+    # floor s (work = (t - s) * cpus / edges); CC has no fitted floor, so
+    # its column is raw convergence core-time. A level with bandwidth
+    # headroom gets CHEAPER per edge as density grows (cache locality in
+    # the rank-map probe); a level pinned at the shared ceiling cannot
+    # (128M holdout, BENCH.md round 5).
+    cells_pr: dict[tuple[int, str], list[float]] = {}
+    cells_cc: dict[tuple[int, str], list[float]] = {}
+    for k, r in era_runs.items():
+        glabel = f"{'skew' if r.get('skew') else 'uniform'} {round(r['n_edges'] / 1e6)}M"
+        for lvl, lv in r["levels"].items():
+            cpus = lv["cpus"]
+            t_steady = r["n_edges"] / lv["eps_pagerank_steady"]
+            pr_cost = 1e6 * max(t_steady - s, 0.0) * cpus / r["n_edges"]
+            cc_cost = (
+                1e6 * sum(lv["cc_superstep_times"]) * cpus / r["n_edges"]
+            )
+            cells_pr.setdefault((cpus, glabel), []).append(pr_cost)
+            cells_cc.setdefault((cpus, glabel), []).append(cc_cost)
+    print(
+        "\nper-edge steady cost, core-us/edge (median over samples; "
+        f"PR floor-subtracted, s={s:.2f}s):"
+    )
+    print("| level | graph | PageRank work | CC conv (raw) |")
+    print("|---|---|---|---|")
+    for (cpus, glabel) in sorted(cells_pr):
+        pr = st.median(cells_pr[(cpus, glabel)])
+        cc = st.median(cells_cc[(cpus, glabel)])
+        print(f"| local[{cpus}] | {glabel} | {pr:.2f} | {cc:.2f} |")
 
 
 if __name__ == "__main__":
