@@ -38,9 +38,16 @@ def dense_component_ranks(
     # boundaries, so two separate evaluations (the offsets branch and the
     # ranking branch) could partition differently and corrupt the ranks.
     comps = comps.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    # per-partition counts → cumulative offsets; #partitions rows, broadcastable
+    # per-partition counts → cumulative offsets; #partitions rows,
+    # broadcastable. Constant partition key = same one-partition execution
+    # without WindowExec's warning in every log (the table is tiny by
+    # construction — one row per shuffle partition).
     counts = comps.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )

@@ -99,8 +99,14 @@ def with_scan_order_ids(runs: DataFrame, id_col: str = "id") -> DataFrame:
     counts = runs.groupBy("row").agg(F.count(F.lit(1)).alias("n_runs"))
     # Cumulative offsets over the per-row count table. This window is over
     # #image-rows entries (≤ a few million even for absurd images) — cheap;
-    # the run/cell tables never funnel through one partition.
-    w_off = Window.orderBy("row").rowsBetween(Window.unboundedPreceding, -1)
+    # the run/cell tables never funnel through one partition. The constant
+    # partition key keeps semantics identical (one partition either way)
+    # while keeping WindowExec's single-partition warning out of every log.
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("row")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "row", F.coalesce(F.sum("n_runs").over(w_off), F.lit(0)).alias("row_offset")
     )
