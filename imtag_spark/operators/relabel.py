@@ -41,10 +41,12 @@ def dense_component_ranks(
     # per-partition counts → cumulative offsets; #partitions rows,
     # broadcastable. Constant partition key = same one-partition execution
     # without WindowExec's warning in every log (the table is tiny by
-    # construction — one row per shuffle partition).
+    # construction — one row per shuffle partition); pmod(_pid, 1) is
+    # always 0 but column-dependent, so the optimizer cannot fold it out
+    # of the partitionSpec (a bare lit(0) is removed).
     counts = comps.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

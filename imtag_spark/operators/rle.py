@@ -101,9 +101,11 @@ def with_scan_order_ids(runs: DataFrame, id_col: str = "id") -> DataFrame:
     # #image-rows entries (≤ a few million even for absurd images) — cheap;
     # the run/cell tables never funnel through one partition. The constant
     # partition key keeps semantics identical (one partition either way)
-    # while keeping WindowExec's single-partition warning out of every log.
+    # while keeping WindowExec's single-partition warning out of every log;
+    # pmod(row, 1) is always 0 but column-dependent, so the optimizer
+    # cannot fold it out of the partitionSpec (a bare lit(0) is removed).
     w_off = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.pmod(F.col("row"), F.lit(1)))
         .orderBy("row")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
