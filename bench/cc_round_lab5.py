@@ -1,24 +1,24 @@
-"""A/B lab for the CC big-graph superstep structure (round-4 experiments).
+"""A/B lab for the round-5 CC superstep changes (BENCH.md round-5).
 
-Hypothesis under test: in ``_star_contract_round_reuse`` the small-star
-aggregate + join is REDUNDANT — its input ``oriented`` is hash(src)-
-partitioned, so every vertex's large-star rows are already co-located and
-the partition-local union-find performs the identical unions (per
-partition, for each n the set {n} ∪ {its m's} forms one UF component
-whether or not the small star rewired the rows first). If true, dropping
-the small star removes one full hash-aggregate pass + one shuffle-hash
-join probe over E rows per round, bit-identically.
+Two candidate changes to ``_star_contract_round_reuse``, measured
+separately and stacked, against the frozen r4 structure:
 
-Variants (full CC solve, certificate loop copied from cc.py):
-  A  current round: LS -> SS -> contract -> repartition(src) -> contract
-  D  LS -> contract -> repartition(src) -> contract   (no small star)
-  B  LS -> repartition(src) -> single contract        (fold the exchanges)
+  D  r4 round: two-aggregate neighborhood min (c-side + n-side) merged by
+     a V-row full-outer join, inner large-star join, int64 Arrow transits
+  F  n-side min only: in the oriented edge set every c-side neighbor of u
+     is < u and every n-side neighbor > u, so min(Γ(u) ∪ {u}) =
+     least(u, mn(u)) — the c-side E-row aggregate and the V-row merge
+     join are dead weight; the large-star join becomes LEFT + least
+  N  F plus the narrow transit: edge columns cast INT32 at the
+     mapInArrow boundary (ids here < 4M; the engine gates this on the
+     id range measured by the init job), halving the bytes through the
+     round's one non-JVM, memory-bound stage
 
 Protocol (BENCH.md): one JVM, untimed warmup solve first, then variants
 interleaved REPS times; per-round MIN across reps per variant; identical
 deterministic input; label-sum fingerprint compared across variants.
 
-Usage: python bench/cc_round_lab.py [cpus] [n_edges] [n_vertices] [reps]
+Usage: python bench/cc_round_lab5.py [cpus] [n_edges] [n_vertices] [reps]
 """
 
 from __future__ import annotations
@@ -34,69 +34,57 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from imtag_spark.operators.cc import (  # noqa: E402
     _chained_count,
+    _nside_mins,
     _oriented_edges,
     local_contract,
 )
+from imtag_spark.plans.checkpoint import free_local_checkpoint  # noqa: E402
+from imtag_spark.session import get_spark  # noqa: E402
 
 
-def _neighborhood_mins(o):
-    """The r4-era two-aggregate neighborhood min this lab's variants were
-    measured with (kept inline as the historical record; the engine's r5
-    round computes the same min from the n-side aggregate alone — see
-    cc._nside_mins for why the c-side aggregate can never win the least)."""
+def _r4_neighborhood_mins(o):
     mins_c = o.groupBy("c").agg(F.min("n").alias("mc"))
     mins_n = o.groupBy("n").agg(F.min("c").alias("mn")).withColumnRenamed("n", "c")
     return mins_c.join(mins_n, "c", "full").select(
         "c", F.least(F.col("c"), F.col("mc"), F.col("mn")).alias("m")
     )
-from imtag_spark.plans.checkpoint import free_local_checkpoint  # noqa: E402
-from imtag_spark.session import get_spark  # noqa: E402
 
 
-def _large_star_oriented(work, n_part):
-    o = _oriented_edges(work, n_part)
-    m = _neighborhood_mins(o)
-    ls = o.join(m.hint("shuffle_hash"), "c").select(
-        F.col("n").alias("src"), F.col("m").alias("dst")
+def _contract_tail(ls, n_part, narrow):
+    out = local_contract(ls.repartition(n_part, "src"), narrow=narrow).where(
+        F.col("src") != F.col("dst")
     )
-    return ls.repartition(n_part, "src")
-
-
-def round_A(work, n_part):
-    oriented = _large_star_oriented(work, n_part)
-    smins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    lower = (
-        oriented.join(smins.hint("shuffle_hash"), "src")
-        .where(F.col("dst") != F.col("m"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    )
-    ss = lower.union(smins.select("src", F.col("m").alias("dst")))
-    out = local_contract(ss).where(F.col("src") != F.col("dst"))
-    return local_contract(out.repartition(n_part, "src")).where(
+    return local_contract(out.repartition(n_part, "src"), narrow=narrow).where(
         F.col("src") != F.col("dst")
     )
 
 
 def round_D(work, n_part):
-    oriented = _large_star_oriented(work, n_part)
-    out = local_contract(oriented).where(F.col("src") != F.col("dst"))
-    return local_contract(out.repartition(n_part, "src")).where(
-        F.col("src") != F.col("dst")
-    )
-
-
-def round_B(work, n_part):
     o = _oriented_edges(work, n_part)
-    m = _neighborhood_mins(o)
+    m = _r4_neighborhood_mins(o)
     ls = o.join(m.hint("shuffle_hash"), "c").select(
         F.col("n").alias("src"), F.col("m").alias("dst")
     )
-    return local_contract(ls.repartition(n_part, "src")).where(
-        F.col("src") != F.col("dst")
+    return _contract_tail(ls, n_part, narrow=False)
+
+
+def _r5_large_star(work, n_part):
+    o = _oriented_edges(work, n_part)
+    mn = _nside_mins(o)
+    return o.join(mn.hint("shuffle_hash"), "c", "left").select(
+        F.col("n").alias("src"), F.least("c", "mn").alias("dst")
     )
 
 
-ROUNDS = {"A": round_A, "D": round_D, "B": round_B}
+def round_F(work, n_part):
+    return _contract_tail(_r5_large_star(work, n_part), n_part, narrow=False)
+
+
+def round_N(work, n_part):
+    return _contract_tail(_r5_large_star(work, n_part), n_part, narrow=True)
+
+
+ROUNDS = {"D": round_D, "F": round_F, "N": round_N}
 
 
 def solve(spark, edges, variant: str, n_part: int):
@@ -113,7 +101,6 @@ def solve(spark, edges, variant: str, n_part: int):
         work = stepped
         if chained == 0:
             break
-    # fingerprint: per-vertex component labels as (vertex -> root) star rows
     fp = work.agg(
         F.coalesce(
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
@@ -129,7 +116,7 @@ def main() -> None:
     n_vertices = int(sys.argv[3]) if len(sys.argv) > 3 else 4_000_000
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     spark = get_spark(
-        app_name="cc_round_lab",
+        app_name="cc_round_lab5",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
@@ -146,8 +133,7 @@ def main() -> None:
     m = edges.count()
     print(f"# edges={m}", flush=True)
 
-    # untimed warmup solve (JIT/Arrow spin-up; see scaling_worker.py)
-    solve(spark, edges, "A", n_part)
+    solve(spark, edges, "D", n_part)  # untimed warmup (JIT/Arrow spin-up)
 
     results: dict[str, list] = {k: [] for k in ROUNDS}
     fps: dict[str, int] = {}
@@ -180,6 +166,7 @@ def main() -> None:
                     "per_round_min": [round(t, 2) for t in mins],
                     "total_min": round(sum(mins), 2),
                     "eps_cc": round(m / (sum(mins) / len(mins)), 1),
+                    "eps_cc_conv": round(m / sum(mins), 1),
                 }
             ),
             flush=True,

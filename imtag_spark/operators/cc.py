@@ -135,12 +135,10 @@ def _local_contract_fn(chunk: int):
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            srcs.append(
-                rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            )
-            dsts.append(
-                rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            )
+            # dtype-preserving: the narrow transit arrives int32 and stays
+            # int32 through the whole kernel (see _contract_arrays)
+            srcs.append(rb.column(0).to_numpy(zero_copy_only=False))
+            dsts.append(rb.column(1).to_numpy(zero_copy_only=False))
             buffered += rb.num_rows
             if buffered >= chunk:
                 yield from _emit()
@@ -154,6 +152,12 @@ def _local_contract_fn(chunk: int):
 def _contract_arrays(
     srcs: list[np.ndarray], dsts: list[np.ndarray]
 ) -> tuple[np.ndarray, np.ndarray]:
+    """Dtype-preserving: int32 inputs (the ``narrow`` transit) keep the
+    whole working set — the unique sort, the gather loop, the vertex
+    array — at 4 bytes/element. Measured per 2M-row task (this host,
+    quiet): 1.49 s int64 → 0.46 s int32, 3.2×; the stage is memory-bound
+    (``np.minimum.at`` scatter + sort bandwidth), so bytes ARE time.
+    Output is upcast to int64 at emit (output is ~V rows, negligible)."""
     src = np.concatenate(srcs)
     dst = np.concatenate(dsts)
     verts, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
@@ -196,11 +200,38 @@ def _contract_arrays(
         if np.array_equal(nxt, p):
             break
         p = nxt
-    return verts, verts[p]
+    return (
+        verts.astype(np.int64, copy=False),
+        verts[p].astype(np.int64, copy=False),
+    )
 
 
-def local_contract(edges: DataFrame, chunk: int = LOCAL_CONTRACT_CHUNK) -> DataFrame:
-    """Shuffle-free per-partition contraction: edges → (vertex, local_root) pairs."""
+def local_contract(
+    edges: DataFrame, chunk: int = LOCAL_CONTRACT_CHUNK, narrow: bool = False
+) -> DataFrame:
+    """Shuffle-free per-partition contraction: edges → (vertex, local_root) pairs.
+
+    ``narrow`` — transit the edge columns to the Python workers as INT32
+    instead of INT64, halving the bytes through the round's one
+    non-JVM stage (Arrow IPC both ways, the unique sort, the union-find
+    gathers — all memory-bound; measured 3.2× per task). The caller must
+    hold an id-range bound (``|id| < 2³¹``): ``connected_components``
+    measures it once on the init job — min-hooking only ever moves labels
+    DOWN to existing vertex ids, so bounds checked at init hold for every
+    round — and grid callers hold it statically (run ids ≤ cell count).
+    Mirrors the reference's 32-bit label representation
+    (/root/reference/src/disjoint_set.hpp:24, uint32_t parents;
+    src/SegmentImageImpl.hpp:12 label_t = uint16/uint32): id spaces that
+    fit 32 bits never pay 64-bit traffic. Safe by construction: the
+    session runs ANSI mode, so an out-of-range id makes the cast THROW —
+    a wrong bound can never silently wrap into a wrong label. Full-range
+    ids (e.g. xxhash64-derived corpus vertices) take the int64 path.
+    """
+    if narrow:
+        edges = edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
     return edges.mapInArrow(_local_contract_fn(chunk), schema=EDGE_SCHEMA)
 
 
@@ -261,7 +292,7 @@ def _small_star(edges: DataFrame, mins_broadcast: bool = False) -> DataFrame:
 
 
 def _star_contract_round(
-    edges: DataFrame, mins_broadcast: bool = False
+    edges: DataFrame, mins_broadcast: bool = False, narrow: bool = False
 ) -> DataFrame:
     """One CC superstep: large-star → small-star → narrow local contraction.
 
@@ -273,7 +304,8 @@ def _star_contract_round(
     equi-joins; the contraction only ever sees one shuffle partition's rows).
     """
     return local_contract(
-        _small_star(_large_star(edges, mins_broadcast), mins_broadcast)
+        _small_star(_large_star(edges, mins_broadcast), mins_broadcast),
+        narrow=narrow,
     ).where(F.col("src") != F.col("dst"))
 
 
@@ -295,24 +327,28 @@ def _oriented_edges(edges: DataFrame, n_part: int) -> DataFrame:
     )
 
 
-def _neighborhood_mins(o: DataFrame) -> DataFrame:
-    """Per-vertex ``m(u) = min(Γ(u) ∪ {u})`` from the oriented edge set:
-    two E-row aggregates (the c-side reuses the orientation exchange's
-    partitioning — zero further exchange; the n-side exchanges only
-    partial aggregates) merged at the V-row level. ``F.least`` skips
-    nulls, so vertices seen only as c (or only as n) get the min over
-    whatever neighborhood side exists — plus themselves, matching
-    min(Γ(u) ∪ {u}) exactly."""
-    mins_c = o.groupBy("c").agg(F.min("n").alias("mc"))
-    mins_n = o.groupBy("n").agg(F.min("c").alias("mn")).withColumnRenamed("n", "c")
-    return mins_c.join(mins_n, "c", "full").select(
-        "c", F.least("c", "mc", "mn").alias("m")
-    )
+def _nside_mins(o: DataFrame) -> DataFrame:
+    """Per-vertex min over the c-side of a vertex's n-edges: ``(c, mn)``
+    where ``mn(u) = min{c' : (c', u) ∈ o}``, keyed as ``c`` for the join.
+
+    This is the WHOLE neighborhood min: in the oriented set every c-side
+    neighbor of u is strictly SMALLER than u and every n-side neighbor
+    strictly LARGER, so ``min(Γ(u) ∪ {u}) = least(u, mn(u))`` exactly —
+    the c-side aggregate (min over u's n-neighbors, all > u) can never win
+    the least and is pure cost. r4 computed it anyway and paid a full
+    E-row hash aggregate plus a V-row full-outer merge join per round;
+    dropping both (r5) makes the large-star join a LEFT join with
+    ``least(c, mn)`` — ``F.least`` skips the null mn of a vertex never
+    seen as n, which is precisely the ``min = itself`` case. One E-row
+    pass over the reused orientation exchange, partial-aggregated
+    map-side, exchanging only ~V partial rows."""
+    return o.groupBy("n").agg(F.min("c").alias("mn")).withColumnRenamed("n", "c")
 
 
 def _star_contract_round_reuse(
     edges: DataFrame,
     n_part: int,
+    narrow: bool = False,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The default big-graph superstep: large star → partition-local
     union-find over its hash(src)-partitioned output → hash(src)
@@ -322,17 +358,19 @@ def _star_contract_round_reuse(
     The naive round symmetrizes the edges (2E rows) to compute each
     vertex's full-neighborhood min with one groupBy. Here each edge is
     instead oriented ONCE as ``(c=min endpoint, n=max endpoint)`` — E rows,
-    hash(c)-partitioned — and the full-neighborhood min of every
-    vertex u is assembled from two E-row aggregates joined on the V-row
-    level: ``min n over edges where u=c`` (reuses the exchange
-    partitioning — zero further movement) + ``min c over edges where u=n``
-    (the round's one unavoidable E-row exchange), merged with a V-row
-    full-outer join and ``least(u, ·, ·)``.
+    hash(c)-partitioned — and the full-neighborhood min needs ONE E-row
+    aggregate: in the oriented set u's c-side neighbors are all < u and
+    its n-side neighbors all > u, so ``min(Γ(u) ∪ {u}) = least(u, mn(u))``
+    with ``mn = min c over edges where u=n`` (``_nside_mins``; partial
+    map-side, ~V partial rows exchanged). r4's second E-row aggregate
+    (min over the n side, values all > u) and its V-row full-outer merge
+    join were provably dead weight and are gone in r5.
 
     The large star then falls out without a filter: u's strictly-larger
-    neighbors are EXACTLY the n's of its c-edges, so
-    ``o ⋈ m on c → (n, m(c))`` is the whole large-star output, already
-    oriented src>dst. One more E-row exchange lands it
+    neighbors are EXACTLY the n's of its c-edges, so the LEFT join
+    ``o ⋈ mn on c → (n, least(c, mn))`` is the whole large-star output,
+    already oriented src>dst (a vertex never seen as n joins null and
+    ``least`` yields c itself). One more E-row exchange lands it
     hash(src)-partitioned for the union-find contraction.
 
     NO SMALL-STAR STAGE (removed in r4): with the large-star output
@@ -372,13 +410,13 @@ def _star_contract_round_reuse(
     caches-to-unpersist) caller contract.
     """
     o = _oriented_edges(edges, n_part)
-    m = _neighborhood_mins(o)
-    ls = o.join(m.hint("shuffle_hash"), "c").select(
-        F.col("n").alias("src"), F.col("m").alias("dst")
+    mn = _nside_mins(o)
+    ls = o.join(mn.hint("shuffle_hash"), "c", "left").select(
+        F.col("n").alias("src"), F.least("c", "mn").alias("dst")
     )
-    # m(c) <= c < n, so ls is already strictly oriented src > dst
+    # least(c, mn) <= c < n, so ls is already strictly oriented src > dst
     oriented = ls.repartition(n_part, "src")
-    out = local_contract(oriented).where(F.col("src") != F.col("dst"))
+    out = local_contract(oriented, narrow=narrow).where(F.col("src") != F.col("dst"))
     # Second, hash(src)-partitioned contraction: the first pass contracts
     # within the large-star partitions, so a vertex seen by k partitions
     # emits k pointer rows, and EVERY downstream cost (certificate
@@ -386,7 +424,7 @@ def _star_contract_round_reuse(
     # One exchange of the already-contracted rows co-locates each vertex's
     # pointers and the second union-find fuses them (→ ~V rows; measured
     # r3: 23.2M → 4.34M, round 2 20.8 → 6.3 s).
-    out = local_contract(out.repartition(n_part, "src")).where(
+    out = local_contract(out.repartition(n_part, "src"), narrow=narrow).where(
         F.col("src") != F.col("dst")
     )
     return out, []
@@ -587,6 +625,7 @@ def connected_components(
     range_partition: bool = False,
     single_partition: bool = False,
     broadcast_mins: bool = False,
+    narrow_ids: bool = False,
     max_iter: int = 50,
     checkpoint_every: int = 3,
     checkpointer=None,
@@ -640,6 +679,15 @@ def connected_components(
     funneling graphs above the adaptive gate when the caller knows
     better.
 
+    ``narrow_ids`` — caller asserts every vertex id fits INT32, routing
+    the Arrow contractions through the half-width transit immediately
+    (see ``local_contract``); useful on paths that skip the init job
+    (``single_partition``) or run a pre-contraction before it
+    (grid pipelines: run ids ≤ cell count, known statically). Without the
+    hint the loop measures the id range on the init job it already pays
+    and narrows automatically. ANSI casts make a violated assertion an
+    error, never a wrong label.
+
     ``broadcast_mins`` — broadcast the per-round V-row min-aggregates (and
     the certificate's src set) into the star joins so the E-row side never
     exchanges inside a superstep. OFF by default, deliberately: measured
@@ -682,7 +730,11 @@ def connected_components(
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         work = work.repartitionByRange(n_part, "src")
     if pre_contract:
-        work = local_contract(work).where(F.col("src") != F.col("dst"))
+        # runs before the init measurement — only a caller-held bound
+        # (narrow_ids) can narrow this pass
+        work = local_contract(work, narrow=narrow_ids).where(
+            F.col("src") != F.col("dst")
+        )
 
     if broadcast_mins and not single_partition:
         # enforce the documented bound: one count against the persisted
@@ -708,6 +760,7 @@ def connected_components(
     # every `checkpoint_every` rounds when resumability is requested.
     _t = _time.time()
     n_work: int | None = None
+    narrow = narrow_ids
     owns_frontier = False  # True once `work` is a checkpoint THIS solve made
     if not single_partition:
         # single-partition mode converges in ~1 round off a trivial plan
@@ -722,12 +775,22 @@ def connected_components(
         # make it, re-reading it per round is as cheap as reading the
         # copy, and the copy itself is round 1's single largest stage at
         # 64M edges (~160 task-core-seconds of pure block duplication).
-        if _cheap_rescan(work):
-            n_work = work.count()
-        else:
+        # The init action doubles as the id-range measurement for the
+        # narrow Arrow transit: same single materialization job, three
+        # ride-along scalar aggregates instead of one. Labels only ever
+        # move DOWN to existing vertex ids, so init bounds hold for every
+        # round's intermediates.
+        if not _cheap_rescan(work):
             work = frontier_checkpoint(work, eager=False)
             owns_frontier = True
-            n_work = work.count()
+        stats = work.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.least("src", "dst")).alias("lo"),
+            F.max(F.greatest("src", "dst")).alias("hi"),
+        ).collect()[0]
+        n_work = int(stats["n"])
+        if not narrow and stats["lo"] is not None:
+            narrow = -(2**31) <= int(stats["lo"]) and int(stats["hi"]) < 2**31
     if verbose:
         print(f"[cc] init n={n_work} {_time.time() - _t:.1f}s", flush=True)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -741,9 +804,9 @@ def connected_components(
             # complete solve in one narrow pass (star rounds would only
             # add shuffles); terminal star forest after round 1 whenever
             # the edges fit one union-find chunk
-            stepped = local_contract(work, chunk=_contract_chunk).where(
-                F.col("src") != F.col("dst")
-            )
+            stepped = local_contract(
+                work, chunk=_contract_chunk, narrow=narrow
+            ).where(F.col("src") != F.col("dst"))
         elif n_work is not None and n_work <= min(FUNNEL_EDGE_LIMIT, _contract_chunk):
             # Frontier funnel: the measured frontier is small enough that a
             # distributed round would be pure scheduling floor, and it fits
@@ -756,13 +819,17 @@ def connected_components(
             # for the Amdahl analysis (a one-task round is a serial tail
             # that must never become the N→4N scaling cap).
             stepped = local_contract(
-                work.coalesce(1), chunk=_contract_chunk
+                work.coalesce(1), chunk=_contract_chunk, narrow=narrow
             ).where(F.col("src") != F.col("dst"))
             funneled = True
         elif broadcast_mins or (n_work is not None and n_work < REUSE_EDGE_LIMIT):
-            stepped = _star_contract_round(work, mins_broadcast=broadcast_mins)
+            stepped = _star_contract_round(
+                work, mins_broadcast=broadcast_mins, narrow=narrow
+            )
         else:
-            stepped, round_caches = _star_contract_round_reuse(work, n_part)
+            stepped, round_caches = _star_contract_round_reuse(
+                work, n_part, narrow=narrow
+            )
         if checkpointer is not None and (it + 1) % checkpoint_every == 0:
             stepped = checkpointer.save(stepped, it + 1)
         else:

@@ -40,6 +40,10 @@ def label_runs(
         edges,
         range_partition=not small,
         single_partition=small,
+        # run ids are scan-order ≤ cell count: a static int32 bound lets
+        # the Arrow contractions take the half-width transit even on the
+        # paths that run before/without the init measurement
+        narrow_ids=cells_hint is not None and cells_hint < 2**31,
         metrics_out=metrics_out,
     )
     all_vert = runs.select(F.col("id").alias("vertex"))

@@ -431,3 +431,52 @@ def test_cheap_rescan_requires_deterministic_projection(spark):
         base.select((F.col("src") + F.floor(F.rand() * 0)).alias("src"), "dst")
     )
     assert not _cheap_rescan(base.where(F.rand() >= 0.0))
+
+
+def test_cc_wide_ids_stay_int64_exact(spark, monkeypatch):
+    # ids above 2^31: the init measurement must keep the Arrow transit at
+    # int64 (narrow gate off) and labels must stay exact — through the
+    # reuse round structure, forced on
+    import imtag_spark.operators.cc as cc_mod
+
+    monkeypatch.setattr(cc_mod, "REUSE_EDGE_LIMIT", 0)
+    monkeypatch.setattr(cc_mod, "FUNNEL_EDGE_LIMIT", 0)
+    big = 2**40
+    pairs = [(big + a, big + b) for a, b in TWO_TRIANGLES_BRIDGE] + [(5, big + 1)]
+    labels = connected_components(edges_df(spark, pairs), max_iter=20)
+    rows = {r.vertex: r.component for r in labels.collect()}
+    assert rows == {v: 5 for v in [5] + [big + i for i in range(1, 7)]}
+
+
+def test_cc_negative_ids_narrow_exact(spark, monkeypatch):
+    # negative ids inside int32 range: the narrow transit fires (auto
+    # measurement) and min-labeling stays exact, reuse round forced on
+    import imtag_spark.operators.cc as cc_mod
+
+    monkeypatch.setattr(cc_mod, "REUSE_EDGE_LIMIT", 0)
+    monkeypatch.setattr(cc_mod, "FUNNEL_EDGE_LIMIT", 0)
+    pairs = [(-3, -2), (-2, 7), (10, 11), (-(2**31), -3)]
+    labels = connected_components(edges_df(spark, pairs), max_iter=20)
+    rows = {r.vertex: r.component for r in labels.collect()}
+    lo = -(2**31)
+    assert rows == {lo: lo, -3: lo, -2: lo, 7: lo, 10: 10, 11: 10}
+
+
+def test_cc_narrow_hint_single_partition(spark):
+    # caller-held int32 bound on the path that runs no init job
+    e = edges_df(spark, [(7, 7), (8, 9), (9, 8), (10, 10)])
+    rows = {
+        r.vertex: r.component
+        for r in connected_components(
+            e, single_partition=True, narrow_ids=True
+        ).collect()
+    }
+    assert rows == {7: 7, 8: 8, 9: 8, 10: 10}
+
+
+def test_cc_narrow_hint_violated_raises(spark):
+    # a lying narrow_ids bound must ERROR (ANSI cast overflow), never
+    # silently wrap into a wrong label
+    e = edges_df(spark, [(2**40, 1)])
+    with pytest.raises(Exception, match="(?i)overflow|cast|ansi"):
+        connected_components(e, single_partition=True, narrow_ids=True)
