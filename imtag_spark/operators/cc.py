@@ -688,6 +688,16 @@ def connected_components(
     and narrows automatically. ANSI casts make a violated assertion an
     error, never a wrong label.
 
+    Kill switch: session conf ``spark.imtag.cc.narrowTransit`` — ``auto``
+    (default, the behavior above) or ``off`` (never use the int32 transit,
+    overriding both the auto gate and a caller's ``narrow_ids``). The
+    pre-registered round-5 transfer samples (BENCH.md) could not certify
+    that the narrow transit preserves the settled ≥0.8 2→8 scaling ratio
+    on this host (n=2, both in PR-control-deflated windows), so per that
+    pre-registration the switch exists for deployments that certify
+    scaling ratios per engine change: labels are bit-identical either way
+    (same union-find, wider dtype), only the Arrow transit width changes.
+
     ``broadcast_mins`` — broadcast the per-round V-row min-aggregates (and
     the certificate's src set) into the star joins so the E-row side never
     exchanges inside a superstep. OFF by default, deliberately: measured
@@ -705,6 +715,14 @@ def connected_components(
     acceptable, whatever the caller hoped).
     """
     spark = edges.sparkSession
+    transit = str(spark.conf.get("spark.imtag.cc.narrowTransit", "auto")).lower()
+    if transit not in ("auto", "off"):
+        raise ValueError(
+            "spark.imtag.cc.narrowTransit must be 'auto' or 'off', got "
+            f"{transit!r}"
+        )
+    if transit == "off":
+        narrow_ids = False
     universe = (
         edges.select(F.col("src").alias("vertex"))
         .union(edges.select(F.col("dst").alias("vertex")))
@@ -789,7 +807,7 @@ def connected_components(
             F.max(F.greatest("src", "dst")).alias("hi"),
         ).collect()[0]
         n_work = int(stats["n"])
-        if not narrow and stats["lo"] is not None:
+        if transit != "off" and not narrow and stats["lo"] is not None:
             narrow = -(2**31) <= int(stats["lo"]) and int(stats["hi"]) < 2**31
     if verbose:
         print(f"[cc] init n={n_work} {_time.time() - _t:.1f}s", flush=True)

@@ -474,6 +474,32 @@ def test_cc_narrow_hint_single_partition(spark):
     assert rows == {7: 7, 8: 8, 9: 8, 10: 10}
 
 
+def test_cc_narrow_transit_kill_switch(spark, monkeypatch):
+    # spark.imtag.cc.narrowTransit=off must override BOTH the auto gate
+    # and a caller's narrow_ids, yielding identical labels through the
+    # reuse round structure — the pre-registered round-5 safety valve
+    import imtag_spark.operators.cc as cc_mod
+
+    monkeypatch.setattr(cc_mod, "REUSE_EDGE_LIMIT", 0)
+    monkeypatch.setattr(cc_mod, "FUNNEL_EDGE_LIMIT", 0)
+    e = edges_df(spark, TWO_TRIANGLES_BRIDGE)
+    expected = {
+        r.vertex: r.component for r in connected_components(e, max_iter=20).collect()
+    }
+    spark.conf.set("spark.imtag.cc.narrowTransit", "off")
+    try:
+        rows = {
+            r.vertex: r.component
+            for r in connected_components(e, narrow_ids=True, max_iter=20).collect()
+        }
+        assert rows == expected
+        spark.conf.set("spark.imtag.cc.narrowTransit", "bogus")
+        with pytest.raises(ValueError, match="narrowTransit"):
+            connected_components(e, max_iter=20)
+    finally:
+        spark.conf.unset("spark.imtag.cc.narrowTransit")
+
+
 def test_cc_narrow_hint_violated_raises(spark):
     # a lying narrow_ids bound must ERROR (ANSI cast overflow), never
     # silently wrap into a wrong label
