@@ -272,32 +272,57 @@ def main() -> None:
                     out[metric] = {"best": vals[-1], "median": med,
                                    "n": len(vals)}
             return out
-        pairings = sorted({k.split("_")[0] for k in runs})
-        for pairing in pairings:
-            entry = {}
-            for skewed, base in ((False, "uniform"), (True, "skew")):
-                group = [r for k, r in runs.items()
-                         if k.split("_")[0] == pairing
-                         and bool(r.get("skew")) == skewed]
-                if not group:
-                    continue
-                # Different edge counts are different experiments (the
-                # 128M amortization point must not shift the 64M median):
-                # the modal size keeps the plain key, other sizes get an
-                # explicit _<edges>m suffix.
-                sizes = sorted({r["n_edges"] for r in group})
-                modal = max(
-                    sizes,
-                    key=lambda n: (sum(1 for r in group
-                                       if r["n_edges"] == n), -n),
-                )
-                for n in sizes:
-                    sub = [r for r in group if r["n_edges"] == n]
-                    name = base if n == modal else (
-                        f"{base}_{round(n / 1_000_000)}m")
-                    entry[name] = summarize(sub)
-                    entry[name]["n_edges"] = n
+        def pairing_blocks(sample_map):
+            blocks = {}
+            for pairing in sorted({k.split("_")[0] for k in sample_map}):
+                entry = {}
+                for skewed, base in ((False, "uniform"), (True, "skew")):
+                    group = [r for k, r in sample_map.items()
+                             if k.split("_")[0] == pairing
+                             and bool(r.get("skew")) == skewed]
+                    if not group:
+                        continue
+                    # Different edge counts are different experiments (the
+                    # 128M amortization point must not shift the 64M
+                    # median): the modal size keeps the plain key, other
+                    # sizes get an explicit _<edges>m suffix.
+                    sizes = sorted({r["n_edges"] for r in group})
+                    modal = max(
+                        sizes,
+                        key=lambda n: (sum(1 for r in group
+                                           if r["n_edges"] == n), -n),
+                    )
+                    for n in sizes:
+                        sub = [r for r in group if r["n_edges"] == n]
+                        name = base if n == modal else (
+                            f"{base}_{round(n / 1_000_000)}m")
+                        entry[name] = summarize(sub)
+                        entry[name]["n_edges"] = n
+                blocks[pairing] = entry
+            return blocks
+        for pairing, entry in pairing_blocks(runs).items():
             result[f"scaling_{pairing}"] = entry
+        # The settled-era certification (2->8 @ 32M n=5, medians CC 0.873 /
+        # PR steady 0.899; 128M holdout 0.937/1.081) is round 5's standing
+        # north-rule claim; the current engine's transfer samples are n=2
+        # and uncertified (BENCH.md round-5 settlement). Report both,
+        # never pooled — the settled block carries its own hash stamp.
+        prev_eras = (era or {}).get("previous_eras") or []
+        if prev_eras:
+            all_runs = json.load(open(scaling_path))
+            settled_hashes = set()
+            for p in prev_eras:
+                settled_hashes.update(p.get("hashes", []))
+            settled = {k: r for k, r in all_runs.items()
+                       if r.get("engine_hash") in settled_hashes}
+            if settled:
+                result["scaling_settled_era"] = {
+                    "hashes": sorted(settled_hashes),
+                    "note": ("certified settled-engine sample base "
+                             "(BENCH.md round-5 settlement); current-era "
+                             "transfer samples above are separate"),
+                    "pairings": pairing_blocks(settled),
+                }
     print(json.dumps(result))
 
 
